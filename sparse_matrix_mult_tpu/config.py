@@ -1,0 +1,81 @@
+"""Configuration for the TPU-native sparse-multiply framework.
+
+The reference exposes exactly one tuning knob (``imem_size``, a percent-of-
+dense memory heuristic, ``/root/reference/src/sparse_sparse_sparse.cpp:69-80``)
+plus the ``OMP_NUM_THREADS`` environment variable.  On TPU the analogous knobs
+are the precision policy (how we hit the fp64 oracle on f32-native hardware),
+tile sizes for the Pallas kernels, and the dense-path size cutoff.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+__all__ = ["Config", "get_config", "set_config", "Precision"]
+
+
+class Precision:
+    """Compute-precision policies for TPU execution.
+
+    * ``FAST``     -- float32 inputs, 6-pass (bf16x6) MXU matmul
+      (``precision='highest'``).  Empirically max-rel error ~2e-7 on the
+      reference's test matrices: comfortably inside the scipy oracle's
+      rtol=1e-5/atol=1e-8 (``/root/reference/tests/test_basic.py:54``).
+    * ``SPLIT``    -- double-float (hi/lo) operand split, three f32 matmuls
+      recombined in f64.  Removes input-rounding error; accumulation error
+      stays ~sqrt(K)*eps_f32.
+    * ``STRICT``   -- full float64 (XLA software-emulated on TPU; exact parity
+      with scipy, ~10-50x slower).
+    * ``AUTO``     -- choose by estimated dot-product length: FAST below
+      ``auto_strict_terms`` expected terms, SPLIT above, STRICT never (opt-in).
+    """
+
+    FAST = "fast"
+    SPLIT = "split"
+    STRICT = "strict"
+    AUTO = "auto"
+
+
+@dataclasses.dataclass
+class Config:
+    # Precision policy used on TPU backends (CPU always computes native f64).
+    precision: str = Precision.AUTO
+    # Above this many expected accumulation terms per output element, AUTO
+    # upgrades FAST -> SPLIT to keep headroom under rtol=1e-5.
+    auto_split_terms: int = 1 << 16
+    # Dense fast path is used when rows*cols of every involved matrix is at
+    # most this many elements (f32 bytes = 4x this).  1 GiB of f32 by default.
+    dense_path_limit: int = 1 << 28
+    # Pallas BSR kernel block edge (MXU native tile).
+    block_size: int = 128
+    # Emit the reference's "Multiplication resulted in a zero matrix." notice
+    # (/root/reference/sparse_matrix_mult/matrix_ops.py:370-373).
+    zero_result_notice: bool = True
+    # Default mesh axis name for distributed SpGEMM.
+    mesh_axis: str = "rows"
+    # Force the pure-jnp fallback everywhere (debugging).
+    force_reference_path: bool = False
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+_config = Config()
+
+if os.environ.get("SMM_TPU_PRECISION"):
+    _config.precision = os.environ["SMM_TPU_PRECISION"]
+
+
+def get_config() -> Config:
+    return _config
+
+
+def set_config(cfg: Optional[Config] = None, **kw) -> Config:
+    global _config
+    if cfg is not None:
+        _config = cfg
+    if kw:
+        _config = _config.replace(**kw)
+    return _config

@@ -1,0 +1,116 @@
+"""Dense fast path: densify -> MXU matmul -> (optionally) re-sparsify.
+
+Rationale: at the densities the reference targets and benchmarks (0.01-0.3,
+``/root/reference/tests/test_with_dense.py:30``, ``README.md:216-220``) the
+product matrix is nearly dense, and a TPU's MXU performs the *dense* product
+orders of magnitude faster than any scatter-based sparse inner loop.  So for
+any problem whose dense forms fit comfortably in HBM we lower SpGEMM onto the
+MXU: scatter the CSR operands into dense tiles (pure memory ops), run one
+policy matmul, and extract the result structure with a two-phase
+count/cumsum/fill -- the static-shape replacement of the reference's
+count->allocate->stitch pipeline (``sparse_sparse_sparse.cpp:129-150``).
+
+For problems past :attr:`Config.dense_path_limit` use
+:mod:`sparse_matrix_mult_tpu.ops.spgemm_jnp` (expansion sort) or the Pallas
+BSR kernels (:mod:`sparse_matrix_mult_tpu.ops.pallas.bsr_spgemm`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Precision, get_config
+from ..types import CSRMatrix, from_dense
+from .matmul import resolve_precision, split_operand
+
+__all__ = [
+    "spgemm_dense_out",
+    "spgemm_sparse_out",
+    "dense_path_fits",
+    "product_dense",
+]
+
+
+def dense_path_fits(*shapes) -> bool:
+    limit = get_config().dense_path_limit
+    return all(int(s[0]) * int(s[1]) <= limit for s in shapes)
+
+
+def _split_values(mat: CSRMatrix):
+    hi, lo = split_operand(mat.values)
+    mk = lambda v: CSRMatrix(mat.indptr, mat.indices, v, mat.shape)
+    return mk(hi), mk(lo)
+
+
+def product_dense(a: CSRMatrix, b: CSRMatrix, precision: str) -> jax.Array:
+    """Dense A@B under a precision policy, densifying directly in compute dtype."""
+    if precision == Precision.STRICT or jax.default_backend() != "tpu":
+        ad = a.todense()
+        bd = b.todense()
+        return jnp.dot(ad, bd, precision="highest")
+
+    kw = dict(precision="highest", preferred_element_type=jnp.float32)
+    if precision == Precision.FAST:
+        ad = a.todense(jnp.float32)
+        bd = b.todense(jnp.float32)
+        out_dtype = jnp.result_type(a.dtype, b.dtype)
+        return jnp.dot(ad, bd, **kw).astype(out_dtype)
+
+    if precision == Precision.SPLIT:
+        ahi, alo = _split_values(a)
+        bhi, blo = _split_values(b)
+        ahd, ald = ahi.todense(jnp.float32), alo.todense(jnp.float32)
+        bhd, bld = bhi.todense(jnp.float32), blo.todense(jnp.float32)
+        hh = jnp.dot(ahd, bhd, **kw)
+        hl = jnp.dot(ahd, bld, **kw)
+        lh = jnp.dot(ald, bhd, **kw)
+        acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        r = hh.astype(acc) + (hl.astype(acc) + lh.astype(acc))
+        return r.astype(jnp.result_type(a.dtype, b.dtype))
+
+    raise ValueError(f"unknown precision policy: {precision!r}")
+
+
+def _expected_terms(a: CSRMatrix, b: CSRMatrix) -> float:
+    # density(A)*K == expected number of accumulation terms per output element.
+    rows, k = a.shape
+    cap = a.capacity  # static upper bound on nnz; good enough for AUTO policy
+    return cap / max(rows, 1)
+
+
+def spgemm_dense_out(
+    a: CSRMatrix,
+    b: CSRMatrix,
+    symmetric: bool = False,
+    precision: str | None = None,
+) -> jax.Array:
+    """sparse x sparse -> dense, mirroring ``dense_nosym``/``dense_sym``
+    (``/root/reference/src/sparse_sparse_dense.cpp:79-131``, ``:13-74``).
+
+    ``symmetric=True`` returns the upper triangle with zero lower triangle,
+    matching the reference's contract.
+    """
+    prec = resolve_precision(precision, _expected_terms(a, b))
+    c = product_dense(a, b, prec)
+    if symmetric:
+        c = jnp.triu(c)
+    return c
+
+
+def spgemm_sparse_out(
+    a: CSRMatrix,
+    b: CSRMatrix,
+    out_capacity: int,
+    symmetric: bool = False,
+    precision: str | None = None,
+) -> CSRMatrix:
+    """sparse x sparse -> padded CSR via the dense fast path (jit-composable).
+
+    Note on structure: entries whose computed value is exactly 0 are dropped,
+    whereas Gustavson implementations (the reference's and scipy's) keep such
+    structural zeros.  All differential tests compare dense forms, where this
+    is invisible.
+    """
+    c = spgemm_dense_out(a, b, symmetric=symmetric, precision=precision)
+    return from_dense(c, out_capacity)

@@ -1,0 +1,142 @@
+"""Expansion-sort SpGEMM: the scalable sparse->sparse path, pure XLA.
+
+The reference implements Gustavson's algorithm: a row-serial scatter into a
+dense "sparse accumulator" work array with grow-on-demand output buffers
+(``/root/reference/src/sparsework.cpp:56-129``).  Neither dynamic growth nor
+data-dependent scatter loops map onto XLA/TPU.  The TPU-native formulation is
+**ESC (expand-sort-compress)**:
+
+1. *Expand*  -- materialize every partial product ``A(i,j) * B(j,k)`` as a
+   ``(key=i*cols+k, value)`` pair, fully vectorized via ``searchsorted`` over
+   the expansion offsets (no per-row loops).
+2. *Sort*    -- one device-wide key sort (``lax.sort_key_val``).
+3. *Compress*-- segment boundaries -> ``cumsum`` -> scatter-add duplicates into
+   the output slot of their key.  This replaces both the per-thread partials
+   and the serial stitch of the reference orchestrators
+   (``sparse_sparse_sparse.cpp:90-150``) with one device-side prefix sum.
+
+Everything is static-shape: callers supply ``expand_capacity`` (>= total
+partial products) and ``out_capacity`` (>= nnz(C)); the host API computes
+exact values cheaply from the operand structure and buckets them
+(:func:`sparse_matrix_mult_tpu.types.bucket_capacity`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..types import CSRMatrix, INDEX_DTYPE
+
+__all__ = ["spgemm_esc", "expansion_size"]
+
+
+def expansion_size(a_indices, a_nnz: int, b_indptr) -> int:
+    """Exact number of partial products, computed on host (numpy arrays).
+
+    Equals the flop count the reference's ``limits`` partitioning balances
+    over threads (``/root/reference/src/workdivision.cpp:16-89``).
+    """
+    import numpy as np
+
+    idx = np.asarray(a_indices[:a_nnz])
+    indptr = np.asarray(b_indptr)
+    return int((indptr[idx + 1] - indptr[idx]).sum())
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("expand_capacity", "out_capacity", "symmetric"),
+)
+def spgemm_esc(
+    a: CSRMatrix,
+    b: CSRMatrix,
+    *,
+    expand_capacity: int,
+    out_capacity: int,
+    symmetric: bool = False,
+) -> CSRMatrix:
+    """Compute ``C = A @ B`` in padded CSR via expand-sort-compress.
+
+    With ``symmetric=True`` only upper-triangle entries (k >= i) are emitted,
+    mirroring ``sparsework_sym``'s filter
+    (``/root/reference/src/sparsework.cpp:217``).
+    """
+    rows, _ = a.shape
+    _, cols = b.shape
+
+    # Key dtype: i*cols + k must not overflow.
+    if rows * cols < 2**31:
+        key_dtype = jnp.int32
+    else:
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "output space exceeds int32 keys; enable x64 or use the "
+                "block-sparse kernel path"
+            )
+        key_dtype = jnp.int64
+    big = jnp.array(jnp.iinfo(key_dtype).max, key_dtype)
+
+    # ---- expand -----------------------------------------------------------
+    a_slot = jnp.arange(a.capacity, dtype=INDEX_DTYPE)
+    a_valid = a_slot < a.nnz
+    a_rows = a.row_ids()
+    b_row_nnz = b.indptr[1:] - b.indptr[:-1]  # (K,)
+    lens = jnp.where(a_valid, b_row_nnz[a.indices], 0)
+    ends = jnp.cumsum(lens, dtype=INDEX_DTYPE)
+    starts = ends - lens
+    total = ends[-1] if a.capacity > 0 else jnp.zeros((), INDEX_DTYPE)
+
+    e = jnp.arange(expand_capacity, dtype=INDEX_DTYPE)
+    src = jnp.searchsorted(ends, e, side="right").astype(INDEX_DTYPE)
+    src = jnp.clip(src, 0, max(a.capacity - 1, 0))
+    within = e - starts[src]
+    b_pos = b.indptr[a.indices[src]] + within
+    b_pos = jnp.clip(b_pos, 0, max(b.capacity - 1, 0))
+
+    i = a_rows[src]
+    k = b.indices[b_pos]
+    v = a.values[src] * b.values[b_pos]
+
+    valid = e < total
+    if symmetric:
+        valid = valid & (k >= i)
+    key = jnp.where(
+        valid,
+        i.astype(key_dtype) * cols + k.astype(key_dtype),
+        big,
+    )
+
+    # ---- sort -------------------------------------------------------------
+    key_sorted, v_sorted = lax.sort_key_val(key, v)
+
+    # ---- compress ----------------------------------------------------------
+    prev = jnp.concatenate([big[None], key_sorted[:-1]])
+    live = key_sorted != big
+    boundary = live & (key_sorted != prev)
+    out_idx = jnp.cumsum(boundary, dtype=INDEX_DTYPE) - 1
+    out_nnz = out_idx[-1] + 1 if expand_capacity > 0 else jnp.zeros((), INDEX_DTYPE)
+
+    safe_idx = jnp.clip(out_idx, 0, out_capacity - 1)
+    values = jnp.zeros(out_capacity, v.dtype).at[safe_idx].add(
+        jnp.where(live, v_sorted, 0)
+    )
+    keys_out = jnp.zeros(out_capacity, key_dtype).at[safe_idx].max(
+        jnp.where(boundary, key_sorted, 0)
+    )
+    out_slot = jnp.arange(out_capacity, dtype=INDEX_DTYPE)
+    slot_live = out_slot < out_nnz
+    indices = jnp.where(slot_live, (keys_out % cols).astype(INDEX_DTYPE), 0)
+    values = jnp.where(slot_live, values, 0)
+
+    out_row = jnp.where(slot_live, (keys_out // cols).astype(INDEX_DTYPE), 0)
+    counts = jnp.zeros(rows, INDEX_DTYPE).at[out_row].add(
+        slot_live.astype(INDEX_DTYPE)
+    )
+    indptr = jnp.concatenate(
+        [jnp.zeros(1, INDEX_DTYPE), jnp.cumsum(counts, dtype=INDEX_DTYPE)]
+    )
+    return CSRMatrix(indptr=indptr, indices=indices, values=values, shape=(rows, cols))

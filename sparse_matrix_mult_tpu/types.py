@@ -1,0 +1,212 @@
+"""Device-resident sparse containers for the TPU-native SpGEMM framework.
+
+Design notes
+------------
+The reference framework (vineety/sparse_matrix_mult) represents CSR matrices as
+malloc'd C structs with grow-on-demand reallocation
+(``/root/reference/include/matrix_def.h:17-24``,
+``/root/reference/src/memfunctions.cpp:77-103``).  XLA requires static shapes,
+so the TPU-native container is a **capacity-padded CSR pytree**:
+
+* ``indptr``  -- int32, shape ``(rows + 1,)``, exact cumulative row pointers.
+* ``indices`` -- int32, shape ``(capacity,)``; entries past ``indptr[-1]`` are
+  padding and hold ``0``.
+* ``values``  -- float, shape ``(capacity,)``; padding entries hold ``0.0``.
+
+``capacity`` is a *static* Python int (part of the pytree structure), while the
+logical ``nnz`` lives at ``indptr[-1]`` on device so the container stays fully
+``jit``-composable.  All kernels in this package treat tail padding as
+zero-valued entries at row 0 / column 0, which is harmless under the
+scatter-*add* semantics every consumer uses.
+
+Capacities are bucketed (powers of two by default, see
+:func:`bucket_capacity`) so repeated calls with similar problem sizes reuse
+compiled executables instead of triggering recompilation -- the TPU analogue of
+the reference's geometric realloc policy (``sparsework.cpp:81-103``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "CSRMatrix",
+    "bucket_capacity",
+    "from_scipy",
+    "to_scipy",
+    "from_dense",
+]
+
+Shape = Tuple[int, int]
+
+INDEX_DTYPE = jnp.int32
+
+
+def bucket_capacity(n: int, minimum: int = 128) -> int:
+    """Round ``n`` up to a capacity bucket (next power of two).
+
+    Bucketing keeps the number of distinct compiled shapes logarithmic in the
+    problem-size range, mirroring the intent of the reference's ``imem_size``
+    heuristic + geometric realloc (``sparse_sparse_sparse.cpp:69-80``,
+    ``sparsework.cpp:81-103``) without any dynamic allocation.
+    """
+    n = max(int(n), minimum)
+    return 1 << (n - 1).bit_length()
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CSRMatrix:
+    """Capacity-padded CSR matrix as a JAX pytree.
+
+    TPU-native counterpart of the reference's ``struct sparsemat``
+    (``/root/reference/include/matrix_def.h:17-24``): same logical fields
+    (rowPtr/colInd/values + dims), but with static capacity instead of
+    ``nzmax`` + realloc, and device-resident arrays instead of host pointers.
+    """
+
+    indptr: jax.Array  # (rows + 1,) int32
+    indices: jax.Array  # (capacity,) int32
+    values: jax.Array  # (capacity,) float
+    shape: Shape  # static
+
+    # -- pytree protocol -------------------------------------------------
+    def tree_flatten(self):
+        return (self.indptr, self.indices, self.values), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        indptr, indices, values = children
+        (shape,) = aux
+        return cls(indptr=indptr, indices=indices, values=values, shape=shape)
+
+    # -- static properties ------------------------------------------------
+    @property
+    def rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def capacity(self) -> int:
+        return int(self.indices.shape[0])
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def nnz(self) -> jax.Array:
+        """Logical number of stored entries (device scalar, traced under jit)."""
+        return self.indptr[-1]
+
+    # -- conversions -------------------------------------------------------
+    def row_ids(self) -> jax.Array:
+        """Row index of every stored entry, padding mapped to row 0.
+
+        Computed from ``indptr`` with a vectorized searchsorted -- the
+        device-side replacement for iterating ``rowPtr`` the way the
+        reference's Gustavson loop does (``sparsework.cpp:56-60``).
+        """
+        positions = jnp.arange(self.capacity, dtype=INDEX_DTYPE)
+        rid = jnp.searchsorted(self.indptr, positions, side="right") - 1
+        # Padding (positions >= nnz) lands on the last row; remap to 0 where
+        # values are zero anyway so downstream scatter-adds are no-ops.
+        return jnp.where(positions < self.nnz, rid, 0).astype(INDEX_DTYPE)
+
+    def todense(self, dtype=None) -> jax.Array:
+        """Scatter-add to a dense ``(rows, cols)`` array (jit-composable).
+
+        ``dtype`` lets callers densify directly into the compute dtype (e.g.
+        f32 on TPU) so no wide-precision arithmetic happens on the hot path.
+        """
+        dtype = dtype or self.values.dtype
+        out = jnp.zeros(self.shape, dtype=dtype)
+        mask = jnp.arange(self.capacity) < self.nnz
+        vals = jnp.where(mask, self.values, 0).astype(dtype)
+        return out.at[self.row_ids(), self.indices].add(vals)
+
+    def transpose_dense(self) -> jax.Array:
+        """Dense transpose (used by the dense triple-product path)."""
+        return self.todense().T
+
+    def block_until_ready(self) -> "CSRMatrix":
+        jax.block_until_ready((self.indptr, self.indices, self.values))
+        return self
+
+
+# ---------------------------------------------------------------------------
+# Host-side converters (scipy <-> device).  Parity with the reference's
+# marshalling layer csr_to_sparsemat / sparsemat_to_csr
+# (/root/reference/sparse_matrix_mult/matrix_ops.py:187-228), minus the ctypes
+# copies: data is uploaded once to device HBM.
+# ---------------------------------------------------------------------------
+
+def from_scipy(mat, dtype=None, capacity: int | None = None) -> CSRMatrix:
+    """Upload a scipy CSR (or anything csr_matrix accepts) to device."""
+    import scipy.sparse as _sp
+
+    if not _sp.issparse(mat):
+        mat = _sp.csr_matrix(np.asarray(mat))
+    mat = mat.tocsr()
+    mat.sum_duplicates()
+    nnz = int(mat.nnz)
+    cap = capacity if capacity is not None else bucket_capacity(nnz)
+    if cap < nnz:
+        raise ValueError(f"capacity {cap} < nnz {nnz}")
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    indptr = jnp.asarray(mat.indptr, dtype=INDEX_DTYPE)
+    indices = np.zeros(cap, dtype=np.int32)
+    values = np.zeros(cap, dtype=np.dtype(dtype))
+    indices[:nnz] = mat.indices
+    values[:nnz] = mat.data
+    return CSRMatrix(
+        indptr=indptr,
+        indices=jnp.asarray(indices),
+        values=jnp.asarray(values),
+        shape=tuple(int(s) for s in mat.shape),
+    )
+
+
+def to_scipy(mat: CSRMatrix):
+    """Download a device CSRMatrix to an exact (trimmed) scipy csr_matrix."""
+    import scipy.sparse as _sp
+
+    indptr = np.asarray(mat.indptr)
+    nnz = int(indptr[-1])
+    indices = np.asarray(mat.indices[:nnz])
+    values = np.asarray(mat.values[:nnz])
+    out = _sp.csr_matrix((values, indices, indptr), shape=mat.shape)
+    return out
+
+
+def from_dense(dense: jax.Array, capacity: int) -> CSRMatrix:
+    """Extract the nonzero structure of a dense array into padded CSR.
+
+    Fully jit-composable: ``capacity`` is static; uses masked ``nonzero`` with
+    a static ``size``.  This is the device-side replacement for the
+    reference's dense->CSR conversions done implicitly on the host.
+    """
+    rows, cols = dense.shape
+    mask = dense != 0
+    counts = jnp.sum(mask, axis=1, dtype=INDEX_DTYPE)
+    indptr = jnp.concatenate(
+        [jnp.zeros(1, INDEX_DTYPE), jnp.cumsum(counts, dtype=INDEX_DTYPE)]
+    )
+    flat = mask.reshape(-1)
+    (pos,) = jnp.nonzero(flat, size=capacity, fill_value=rows * cols)
+    valid = pos < rows * cols
+    safe = jnp.where(valid, pos, 0)
+    cols_idx = (safe % cols).astype(INDEX_DTYPE)
+    vals = dense.reshape(-1)[safe]
+    indices = jnp.where(valid, cols_idx, 0)
+    values = jnp.where(valid, vals, 0)
+    return CSRMatrix(indptr=indptr, indices=indices, values=values, shape=(rows, cols))

@@ -1,0 +1,52 @@
+"""Random-matrix differential sweep (coverage parity with the reference's
+``tests/test_with_dense.py``): size/density grid, non-square shapes, identity
+product, and the 1000x1000 d=0.01 'large' configuration."""
+
+import numpy as np
+import pytest
+from scipy.sparse import random as sparse_random, eye
+
+from sparse_matrix_mult_tpu import sparse_matrix_multiply
+
+
+@pytest.mark.parametrize(
+    "size,density",
+    [(5, 0.01), (5, 0.1), (5, 0.3), (6, 0.01), (6, 0.1), (6, 0.3), (64, 0.05), (64, 0.3)],
+)
+def test_sparsity_grid(size, density):
+    a = sparse_random(size, size, density=density, format="csr", random_state=size * 100 + 1)
+    b = sparse_random(size, size, density=density, format="csr", random_state=size * 100 + 2)
+    result = sparse_matrix_multiply(a, b, output_format="sparse")
+    expected = a @ b
+    assert np.allclose(result.toarray(), expected.toarray()), (
+        f"mismatch at size={size} density={density}"
+    )
+
+
+def test_non_square():
+    a = sparse_random(500, 400, density=0.1, format="csr", random_state=11)
+    b = sparse_random(400, 500, density=0.1, format="csr", random_state=12)
+    result = sparse_matrix_multiply(a, b, output_format="sparse")
+    assert np.allclose(result.toarray(), (a @ b).toarray())
+
+
+def test_identity():
+    a = sparse_random(500, 500, density=0.1, format="csr", random_state=13)
+    i = eye(500, format="csr")
+    result = sparse_matrix_multiply(a, i, output_format="sparse")
+    assert np.allclose(result.toarray(), a.toarray())
+
+
+def test_large_sparse():
+    a = sparse_random(1000, 1000, density=0.01, format="csr", random_state=14)
+    b = sparse_random(1000, 1000, density=0.01, format="csr", random_state=15)
+    result = sparse_matrix_multiply(a, b, output_format="sparse")
+    assert np.allclose(result.toarray(), (a @ b).toarray())
+
+
+def test_dense_output_matches_sparse_output():
+    a = sparse_random(200, 300, density=0.05, format="csr", random_state=16)
+    b = sparse_random(300, 150, density=0.05, format="csr", random_state=17)
+    dense = sparse_matrix_multiply(a, b, output_format="dense")
+    sparse = sparse_matrix_multiply(a, b, output_format="sparse")
+    assert np.allclose(dense, sparse.toarray())
