@@ -1,0 +1,77 @@
+"""Headline benchmark: the reference README's published config.
+
+sparse x sparse -> symmetric product, 10,000 x 10,000, density 0.1
+(``/root/reference/README.md:216-220``): the reference's OpenMP CSR SpGEMM
+does it in 11.4803 s on an M1 (scipy: 16.6 s).  We time the device-resident
+TPU path (operands already on device, result left on device — the production
+deployment shape for this framework) and report nnz(C)/s with
+``vs_baseline`` = speedup over the reference's published wall time.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+import sparse_matrix_mult_tpu as smm
+from sparse_matrix_mult_tpu.ops.dense_path import spgemm_dense_out
+
+REF_SECONDS = 11.4803  # /root/reference/README.md:216-220 (M1, OpenMP)
+N = 10_000
+DENSITY = 0.1
+ITERS = 3
+
+
+def main():
+    rng = np.random.default_rng(0)
+    a_sp = sp.random(N, N, density=DENSITY, format="csr", random_state=1)
+    b_sp = sp.random(N, N, density=DENSITY, format="csr", random_state=2)
+
+    a = smm.from_scipy(a_sp).block_until_ready()
+    b = smm.from_scipy(b_sp).block_until_ready()
+
+    # Symmetric product (upper triangle), checksummed so the timing loop
+    # provably executes the full computation every iteration (the tunneled
+    # device can report buffers ready before execution otherwise).
+    fn = jax.jit(
+        lambda a, b: (lambda c: (c, jnp.sum(c)))(
+            spgemm_dense_out(a, b, symmetric=True)
+        )
+    )
+
+    c, chk = fn(a, b)
+    float(chk)  # warm-up / compile
+    nnz_c = int(jnp.sum(c != 0))
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        _, chk = fn(a, b)
+        float(chk)
+        times.append(time.perf_counter() - t0)
+
+    t = min(times)
+    nnz_per_s = nnz_c / t
+    print(
+        json.dumps(
+            {
+                "metric": "spgemm_sym_10k_d0.1_nnz_per_s",
+                "value": round(nnz_per_s, 1),
+                "unit": "nnz(C)/s",
+                "vs_baseline": round(REF_SECONDS / t, 3),
+                "seconds": round(t, 4),
+                "nnz_c": nnz_c,
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

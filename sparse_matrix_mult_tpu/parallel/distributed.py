@@ -1,0 +1,160 @@
+"""Multi-chip SpGEMM: row-sharded A, ring-rotated B blocks over ICI.
+
+The reference's only parallelism is OpenMP threads over contiguous row ranges
+in one address space (``/root/reference/src/workdivision.cpp:16-89``,
+``sparse_sparse_sparse.cpp:90-110``).  The TPU-native scale-out dimension is a
+1D device mesh:
+
+* **A and C are row-sharded** -- each chip owns ``m / n`` output rows, the
+  direct analogue of the reference's per-thread row ranges.
+* **B is row-sharded along the contraction dimension** and *ring-rotated*:
+  at step ``s`` chip ``d`` holds B row-block ``(d + s) mod n``, contracts it
+  against the matching column-block of its local A rows, accumulates into its
+  local C block, and forwards the B block to its left neighbour via
+  ``lax.ppermute``.  After ``n`` steps every chip has seen every B block while
+  only ever storing ``1/n`` of B -- the transfer rides the ICI ring and
+  overlaps with the MXU contraction (XLA pipelines the ppermute with the
+  dot).  This is the structural replacement for the reference's "every thread
+  reads all of B from shared memory".
+
+All entry points accept :class:`CSRMatrix` operands and densify *per shard*,
+so no chip ever materializes a full dense B.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..types import CSRMatrix
+from .mesh import row_mesh
+
+__all__ = [
+    "ring_matmul",
+    "spgemm_dense_distributed",
+    "triple_product_distributed",
+    "pad_to_multiple",
+]
+
+
+def pad_to_multiple(x: jax.Array, axis: int, multiple: int) -> jax.Array:
+    """Zero-pad ``x`` along ``axis`` up to the next multiple (static)."""
+    size = x.shape[axis]
+    target = -(-size // multiple) * multiple
+    if target == size:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, target - size)
+    return jnp.pad(x, widths)
+
+
+def _ring_matmul_local(a_loc: jax.Array, b_loc: jax.Array, axis: str, n: int):
+    """Per-shard body: a_loc (m/n, k) x ring-rotating b_loc (k/n, c)."""
+    my = lax.axis_index(axis)
+    rows_loc, k = a_loc.shape
+    blk = k // n
+    perm = [(i, (i - 1) % n) for i in range(n)]
+
+    def body(s, carry):
+        b_cur, acc = carry
+        j = ((my + s) % n).astype(jnp.int32)
+        zero = jnp.zeros((), jnp.int32)
+        a_blk = lax.dynamic_slice(a_loc, (zero, j * blk), (rows_loc, blk))
+        acc = acc + jnp.dot(
+            a_blk, b_cur, precision="highest",
+            preferred_element_type=acc.dtype,
+        )
+        b_next = lax.ppermute(b_cur, axis, perm)
+        return (b_next, acc)
+
+    acc0 = jnp.zeros((rows_loc, b_loc.shape[1]), dtype=jnp.result_type(a_loc, b_loc))
+    if hasattr(lax, "pvary"):
+        # Mark the all-zeros init as device-varying so the scan carry types
+        # match (the accumulated value differs per shard).
+        acc0 = lax.pvary(acc0, (axis,))
+    _, out = lax.fori_loop(0, n, body, (b_loc, acc0))
+    return out
+
+
+def ring_matmul(
+    a: jax.Array,
+    b: jax.Array,
+    mesh: Optional[Mesh] = None,
+) -> jax.Array:
+    """Dense distributed ``a @ b`` with ring-rotated B blocks.
+
+    ``a`` is (m, k), ``b`` is (k, c); both are padded so m and k divide the
+    mesh size.  Returns the (m, c) product (padding trimmed).
+    """
+    mesh = mesh or row_mesh()
+    (axis,) = mesh.axis_names
+    n = mesh.devices.size
+    m, k = a.shape
+    c = b.shape[1]
+
+    ap = pad_to_multiple(a, 0, n)
+    ap = pad_to_multiple(ap, 1, n)
+    bp = pad_to_multiple(b, 0, n)
+
+    fn = shard_map(
+        functools.partial(_ring_matmul_local, axis=axis, n=n),
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+    out = fn(ap, bp)
+    return out[:m, :c]
+
+
+@functools.lru_cache(maxsize=None)
+def _spgemm_dist_jit(mesh: Mesh, symmetric: bool):
+    @jax.jit
+    def fn(a: CSRMatrix, b: CSRMatrix):
+        cd = ring_matmul(a.todense(), b.todense(), mesh)
+        if symmetric:
+            cd = jnp.triu(cd)
+        return cd
+
+    return fn
+
+
+def spgemm_dense_distributed(
+    a: CSRMatrix,
+    b: CSRMatrix,
+    symmetric: bool = False,
+    mesh: Optional[Mesh] = None,
+) -> jax.Array:
+    """sparse x sparse -> dense across the whole mesh (row-sharded output)."""
+    mesh = mesh or row_mesh()
+    return _spgemm_dist_jit(mesh, symmetric)(a, b)
+
+
+def triple_product_distributed(
+    h: CSRMatrix,
+    q: CSRMatrix,
+    compute_full_matrix: int = 0,
+    mesh: Optional[Mesh] = None,
+) -> jax.Array:
+    """Fused distributed ``H . Q . H^T``.
+
+    Both contractions run as ring matmuls; the intermediate ``T = H.Q`` stays
+    row-sharded on the chips that produced it (never gathered), mirroring the
+    reference's "never materialize H.Q as a sparse matrix" contract
+    (``/root/reference/src/sparse_sparse_dense.cpp:141-249``).
+    """
+    mesh = mesh or row_mesh()
+    hd = h.todense()
+    qd = q.todense()
+    t = ring_matmul(hd, qd, mesh)
+    c = ring_matmul(t, hd.T, mesh)
+    upper = jnp.triu(c)
+    if compute_full_matrix:
+        return upper + jnp.triu(c, 1).T
+    return upper
