@@ -11,6 +11,7 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -19,7 +20,17 @@ import scipy.sparse as sp
 import jax
 import jax.numpy as jnp
 
+# Compiles over the tunneled TPU take minutes and the remote-compile service
+# occasionally stalls; a persistent on-disk cache makes bench runs after the
+# first one compile-free.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SMM_TPU_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import sparse_matrix_mult_tpu as smm
+from sparse_matrix_mult_tpu.ops.convert import dense_to_csr
 from sparse_matrix_mult_tpu.ops.dense_path import spgemm_dense_out
 
 REF_SECONDS = 11.4803  # /root/reference/README.md:216-220 (M1, OpenMP)
@@ -33,21 +44,31 @@ def main():
     a_sp = sp.random(N, N, density=DENSITY, format="csr", random_state=1)
     b_sp = sp.random(N, N, density=DENSITY, format="csr", random_state=2)
 
-    a = smm.from_scipy(a_sp).block_until_ready()
-    b = smm.from_scipy(b_sp).block_until_ready()
+    a = smm.from_scipy(a_sp, dtype=jnp.float32).block_until_ready()
+    b = smm.from_scipy(b_sp, dtype=jnp.float32).block_until_ready()
 
-    # Symmetric product (upper triangle), checksummed so the timing loop
-    # provably executes the full computation every iteration (the tunneled
+    # Full device pipeline for the reference's headline routine (sparse x
+    # sparse -> symmetric sparse CSR): densify, MXU product, upper-triangle
+    # mask, shift-network extraction to packed CSR.  Checksummed so the
+    # timing loop provably executes everything each iteration (the tunneled
     # device can report buffers ready before execution otherwise).
-    fn = jax.jit(
-        lambda a, b: (lambda c: (c, jnp.sum(c)))(
-            spgemm_dense_out(a, b, symmetric=True)
-        )
-    )
+    cap = smm.bucket_capacity((N * N + N) // 2)
 
-    c, chk = fn(a, b)
+    def step(a, b):
+        c = spgemm_dense_out(a, b, symmetric=True)
+        csr = dense_to_csr(c, cap)
+        chk = (
+            csr.indptr[-1].astype(jnp.float32)
+            + jnp.sum(csr.values)
+            + jnp.sum(csr.indices.astype(jnp.float32))
+        )
+        return csr.indptr[-1], chk
+
+    fn = jax.jit(step)
+
+    nnz_dev, chk = fn(a, b)
     float(chk)  # warm-up / compile
-    nnz_c = int(jnp.sum(c != 0))
+    nnz_c = int(nnz_dev)
 
     times = []
     for _ in range(ITERS):

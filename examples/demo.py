@@ -1,0 +1,73 @@
+"""End-to-end demo of all five routines, with numpy comparisons.
+
+Parity with the reference's demo script
+(``/root/reference/sparse_matrix_mult/matrix_ops_test_script.py``): the same
+five calls on small matrices, printing framework-vs-numpy results, plus a
+taste of the device-native API the reference has no analogue for.
+
+Run:  python examples/demo.py
+"""
+
+import numpy as np
+import scipy.sparse as sp
+
+import sparse_matrix_mult_tpu as smm
+
+np.set_printoptions(precision=3, suppress=True)
+
+
+def check(name, got, expected):
+    ok = np.allclose(got, expected, rtol=1e-5, atol=1e-8)
+    print(f"[{'ok' if ok else 'FAIL'}] {name}")
+    if not ok:
+        print("  got:\n", got, "\n  expected:\n", expected)
+
+
+def main():
+    rng = np.random.default_rng(7)
+    a = sp.random(3, 4, density=0.6, format="csr", random_state=1)
+    b = sp.random(4, 4, density=0.6, format="csr", random_state=2)
+    c = sp.random(4, 3, density=0.6, format="csr", random_state=3)
+
+    print("A =\n", a.toarray())
+    print("B =\n", b.toarray())
+
+    # 1. sparse x sparse -> sparse CSR
+    r1 = smm.sparse_matrix_multiply(a, b, output_format="sparse")
+    check("sparse x sparse -> sparse", r1.toarray(), (a @ b).toarray())
+
+    # 2. sparse x sparse -> dense
+    r2 = smm.sparse_matrix_multiply(a, b, output_format="dense")
+    check("sparse x sparse -> dense", r2, (a @ b).toarray())
+
+    # 3. symmetric sparse (upper triangle only); needs a square product
+    sq = sp.random(4, 4, density=0.6, format="csr", random_state=4)
+    r3 = smm.sparse_matrix_multiply(sq, b, output_format="sparse", symmetric=True)
+    check("symmetric sparse (triu)", r3.toarray(), np.triu((sq @ b).toarray()))
+
+    # 4. symmetric dense
+    r4 = smm.sparse_matrix_multiply(sq, b, output_format="dense", symmetric=True)
+    check("symmetric dense (triu)", r4, np.triu((sq @ b).toarray()))
+
+    # 5. fused triple product H.Q.H^T
+    h = sp.random(3, 4, density=0.7, format="csr", random_state=5)
+    q = sp.random(4, 4, density=0.7, format="csr", random_state=6)
+    ref = (h @ q @ h.T).toarray()
+    r5 = smm.sparse_matrix_multiply(h, q, use_triple_product=True)
+    check("triple product (triu)", r5, np.triu(ref))
+    r5f = smm.sparse_matrix_multiply(h, q, use_triple_product=True, compute_full_matrix=1)
+    check("triple product (full)", r5f, np.triu(ref) + np.triu(ref, 1).T)
+
+    # Device-native API: stays on device, composes under jit.
+    import jax
+
+    ad = smm.from_scipy(a)
+    bd = smm.from_scipy(b)
+    dense_fn = jax.jit(lambda x, y: smm.multiply(x, y, output_format="dense"))
+    check("device-native jit multiply", np.asarray(dense_fn(ad, bd)), (a @ b).toarray())
+
+    print("demo complete on backend:", jax.default_backend())
+
+
+if __name__ == "__main__":
+    main()

@@ -29,17 +29,18 @@ import scipy.sparse as sp
 from scipy.sparse import csr_matrix, isspmatrix_csr
 
 from .config import get_config
+from .ops.convert import dense_to_csr
 from .ops.dense_path import dense_path_fits, spgemm_dense_out
 from .ops.spgemm_jnp import expansion_size, spgemm_esc
 from .ops.triple_product import triple_product_dense
-from .types import CSRMatrix, bucket_capacity, from_dense, from_scipy, to_scipy
+from .types import CSRMatrix, bucket_capacity, from_scipy, to_scipy
+from .utils.native import csr_triu, stitch_csr
 
 __all__ = ["sparse_matrix_multiply", "multiply", "triple_product"]
 
 
-# Expansion-sort is preferred when the number of partial products is small
-# relative to the dense flop volume; above this many expanded entries the
-# dense MXU path or chunking wins.
+# Expansion-sort is used when the dense panels would not fit on device but
+# the number of partial products is small (hypersparse operands).
 _EXPAND_LIMIT = 1 << 26
 
 
@@ -49,24 +50,34 @@ def _coerce_csr(m):
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("symmetric", "out_capacity"))
-def _dense_then_extract(a: CSRMatrix, b: CSRMatrix, symmetric: bool, out_capacity: int):
-    c = spgemm_dense_out(a, b, symmetric=symmetric)
-    return from_dense(c, out_capacity)
-
-
 @functools.partial(jax.jit, static_argnames=("symmetric",))
-def _dense_product_and_count(a: CSRMatrix, b: CSRMatrix, symmetric: bool):
+def _dense_product(a: CSRMatrix, b: CSRMatrix, symmetric: bool):
     c = spgemm_dense_out(a, b, symmetric=symmetric)
-    return jnp.sum(c != 0)
+    return c, jnp.sum(c != 0)
+
+
+@functools.partial(jax.jit, static_argnames=("out_capacity",))
+def _extract_csr(c, out_capacity: int):
+    return dense_to_csr(c, out_capacity)
 
 
 def _sparse_out_host(a_sp, b_sp, symmetric: bool):
     """sparse x sparse -> scipy CSR, choosing the device strategy by size."""
     m, k = a_sp.shape
     n = b_sp.shape[1]
-    expand = expansion_size(a_sp.indices, a_sp.nnz, b_sp.indptr)
 
+    if dense_path_fits((m, k), (k, n), (m, n)):
+        # MXU dense path + shift-network extraction: fastest at the densities
+        # the reference targets (see SURVEY.md section 6).  The dense product
+        # stays on device between the count and the extraction.
+        a = from_scipy(a_sp)
+        b = from_scipy(b_sp)
+        c, nnz_dev = _dense_product(a, b, symmetric)
+        nnz = int(nnz_dev)
+        csr = _extract_csr(c, bucket_capacity(nnz))
+        return to_scipy(csr)
+
+    expand = expansion_size(a_sp.indices, a_sp.nnz, b_sp.indptr)
     if expand <= _EXPAND_LIMIT and m * n < 2**31:
         # Expansion-sort: exact structure (keeps Gustavson's structural
         # zeros), capacities exact-then-bucketed.
@@ -82,13 +93,6 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
         )
         return to_scipy(c)
 
-    if dense_path_fits((m, k), (k, n), (m, n)):
-        a = from_scipy(a_sp)
-        b = from_scipy(b_sp)
-        nnz = int(_dense_product_and_count(a, b, symmetric))
-        c = _dense_then_extract(a, b, symmetric, bucket_capacity(nnz))
-        return to_scipy(c)
-
     # Out-of-core fallback: process A in row chunks so each chunk's dense
     # panel fits on device; assemble the scipy result on host.  This is the
     # TPU analogue of the reference's row-partitioned workers
@@ -100,9 +104,9 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
         stop = min(start + chunk, m)
         sub = a_sp[start:stop]
         parts.append(_sparse_out_host(sub, b_sp, False))
-    out = sp.vstack(parts, format="csr")
+    out = stitch_csr(parts, m, n)
     if symmetric:
-        out = sp.triu(out, format="csr")
+        out = csr_triu(out)
     return out
 
 
@@ -226,7 +230,7 @@ def multiply(
                 symmetric=symmetric,
             )
         c = spgemm_dense_out(a, b, symmetric=symmetric, precision=precision)
-        return from_dense(c, out_capacity)
+        return dense_to_csr(c, out_capacity)
     raise ValueError("Invalid output_format. Choose 'sparse' or 'dense'.")
 
 

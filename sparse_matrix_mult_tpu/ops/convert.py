@@ -1,0 +1,129 @@
+"""Fast device-side CSR <-> dense conversion via monotonic shift networks.
+
+These replace the two operations that dominate any scatter/gather-based
+sparse pipeline on TPU:
+
+* ``csr_to_dense`` -- replaces ``jnp.zeros(...).at[r, c].add(v)`` (XLA
+  scatter, measured 2.3 s for 1e7 nnz on v5e) with a distribute network
+  (~log2 passes of roll+select at VPU bandwidth).
+* ``dense_to_csr`` -- replaces ``jnp.nonzero(..., size=cap)`` (measured 16 s
+  for a 1e8-element dense with 5e7 nnz) with per-row compaction + a packing
+  network.
+
+Reference parity: these are the TPU-native equivalents of the marshalling
+layer (``/root/reference/sparse_matrix_mult/matrix_ops.py:187-240``) plus the
+per-thread packed-output construction in the Gustavson workers
+(``/root/reference/src/sparsework.cpp:81-148``) -- but executed on device, so
+results stay in HBM for the next kernel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..types import CSRMatrix, INDEX_DTYPE
+from .shift_network import (
+    compact_1d,
+    concentrate,
+    distribute,
+    monotonic_move_1d,
+)
+
+__all__ = ["csr_to_dense", "dense_to_csr", "csr_row_ids"]
+
+# Below this many dense elements the one-op XLA scatter/nonzero lowering is
+# already fast and compiles much quicker than a log2(L)-pass network.
+_SMALL = 1 << 18
+
+
+def csr_row_ids(a: CSRMatrix) -> jax.Array:
+    """Row id of every packed entry, via a distribute + cummax (no gather).
+
+    Equivalent to (but much faster on TPU than) the searchsorted in
+    :meth:`CSRMatrix.row_ids`.
+    """
+    rows = a.rows
+    counts = a.indptr[1:] - a.indptr[:-1]
+    nonempty = counts > 0
+    row_iota = jnp.arange(rows, dtype=INDEX_DTYPE)
+    # Pack the non-empty row ids, and their segment starts, to a prefix.
+    packed_rid, packed_start = compact_1d(
+        (row_iota, a.indptr[:-1].astype(INDEX_DTYPE)), nonempty, rows
+    )
+    k = jnp.sum(nonempty.astype(INDEX_DTYPE))
+    # Place each non-empty row's id at its segment start (strictly
+    # increasing dests), then forward-fill with a running max.
+    (placed,) = distribute((packed_rid,), k, packed_start, a.capacity, axis=0)
+    return jax.lax.cummax(placed)
+
+
+def csr_to_dense(a: CSRMatrix, dtype=None, ncols_pad: int | None = None) -> jax.Array:
+    """Dense (rows, cols) array from padded CSR, scatter-free.
+
+    Entries must be sorted by (row, col) with no duplicates -- true for
+    every CSRMatrix this framework produces (scipy ``sum_duplicates`` on
+    ingest, monotone construction internally).
+    """
+    rows, cols = a.shape
+    dtype = dtype or a.values.dtype
+    ncols_pad = ncols_pad or cols
+
+    if rows * cols <= _SMALL:
+        return a.todense(dtype)
+
+    rid = csr_row_ids(a)
+    dest = rid * ncols_pad + a.indices  # strictly increasing over live slots
+    nnz = a.nnz
+    vals = a.values.astype(dtype)
+
+    (flat,) = distribute((vals,), nnz, dest, rows * ncols_pad, axis=0)
+    dense = flat.reshape(rows, ncols_pad)
+    return dense[:, :cols] if ncols_pad != cols else dense
+
+
+def dense_to_csr(
+    c: jax.Array,
+    capacity: int,
+    keep=None,
+    dtype=None,
+) -> CSRMatrix:
+    """Padded CSR from a dense array, scatter-free (jit-composable).
+
+    ``keep`` optionally overrides the nonzero mask (e.g. ``jnp.triu`` masks
+    for symmetric outputs that must keep structural zeros).
+    Entries beyond ``capacity`` are dropped (callers size capacity from the
+    operand structure, as the host API does).
+    """
+    rows, cols = c.shape
+    if keep is None:
+        if rows * cols <= _SMALL:
+            # Small path: nonzero-with-static-size compiles much faster and
+            # is equivalent when the mask is the plain nonzero structure.
+            from ..types import from_dense
+
+            if dtype is not None:
+                c = c.astype(dtype)
+            return from_dense(c, capacity)
+        keep = c != 0
+    counts = jnp.sum(keep, axis=1, dtype=INDEX_DTYPE)
+    indptr = jnp.concatenate(
+        [jnp.zeros(1, INDEX_DTYPE), jnp.cumsum(counts, dtype=INDEX_DTYPE)]
+    )
+
+    col_iota = jax.lax.broadcasted_iota(INDEX_DTYPE, (rows, cols), 1)
+    vals = c if dtype is None else c.astype(dtype)
+
+    # Global packing: flatten and compact.  Destinations indptr[r] + slot are
+    # strictly increasing across the flattened array, so a single 1D
+    # concentrate produces exactly the packed CSR layout.
+    flat_keep = keep.reshape(-1)
+    flat_vals = vals.reshape(-1)
+    flat_cols = col_iota.reshape(-1)
+    values, indices = compact_1d((flat_vals, flat_cols), flat_keep, capacity)
+    return CSRMatrix(
+        indptr=indptr,
+        indices=indices.astype(INDEX_DTYPE),
+        values=values,
+        shape=(rows, cols),
+    )

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Precision, get_config
-from ..types import CSRMatrix, from_dense
+from ..types import CSRMatrix
+from .convert import csr_to_dense, dense_to_csr
 from .matmul import resolve_precision, split_operand
 
 __all__ = [
@@ -46,22 +47,22 @@ def _split_values(mat: CSRMatrix):
 def product_dense(a: CSRMatrix, b: CSRMatrix, precision: str) -> jax.Array:
     """Dense A@B under a precision policy, densifying directly in compute dtype."""
     if precision == Precision.STRICT or jax.default_backend() != "tpu":
-        ad = a.todense()
-        bd = b.todense()
+        ad = csr_to_dense(a)
+        bd = csr_to_dense(b)
         return jnp.dot(ad, bd, precision="highest")
 
     kw = dict(precision="highest", preferred_element_type=jnp.float32)
     if precision == Precision.FAST:
-        ad = a.todense(jnp.float32)
-        bd = b.todense(jnp.float32)
+        ad = csr_to_dense(a, jnp.float32)
+        bd = csr_to_dense(b, jnp.float32)
         out_dtype = jnp.result_type(a.dtype, b.dtype)
         return jnp.dot(ad, bd, **kw).astype(out_dtype)
 
     if precision == Precision.SPLIT:
         ahi, alo = _split_values(a)
         bhi, blo = _split_values(b)
-        ahd, ald = ahi.todense(jnp.float32), alo.todense(jnp.float32)
-        bhd, bld = bhi.todense(jnp.float32), blo.todense(jnp.float32)
+        ahd, ald = csr_to_dense(ahi, jnp.float32), csr_to_dense(alo, jnp.float32)
+        bhd, bld = csr_to_dense(bhi, jnp.float32), csr_to_dense(blo, jnp.float32)
         hh = jnp.dot(ahd, bhd, **kw)
         hl = jnp.dot(ahd, bld, **kw)
         lh = jnp.dot(ald, bhd, **kw)
@@ -113,4 +114,4 @@ def spgemm_sparse_out(
     is invisible.
     """
     c = spgemm_dense_out(a, b, symmetric=symmetric, precision=precision)
-    return from_dense(c, out_capacity)
+    return dense_to_csr(c, out_capacity)

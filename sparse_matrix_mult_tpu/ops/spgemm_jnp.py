@@ -35,16 +35,15 @@ __all__ = ["spgemm_esc", "expansion_size"]
 
 
 def expansion_size(a_indices, a_nnz: int, b_indptr) -> int:
-    """Exact number of partial products, computed on host (numpy arrays).
+    """Exact number of partial products, computed on host.
 
     Equals the flop count the reference's ``limits`` partitioning balances
-    over threads (``/root/reference/src/workdivision.cpp:16-89``).
+    over threads (``/root/reference/src/workdivision.cpp:16-89``).  Runs in
+    the native host library (OpenMP) when available.
     """
-    import numpy as np
+    from ..utils.native import expansion_size as _native_expansion_size
 
-    idx = np.asarray(a_indices[:a_nnz])
-    indptr = np.asarray(b_indptr)
-    return int((indptr[idx + 1] - indptr[idx]).sum())
+    return _native_expansion_size(a_indices, a_nnz, b_indptr)
 
 
 @functools.partial(

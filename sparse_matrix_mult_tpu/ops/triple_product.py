@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..config import Precision
 from ..types import CSRMatrix
+from .convert import csr_to_dense
 from .dense_path import _expected_terms
 from .matmul import resolve_precision, split_operand
 
@@ -47,16 +48,16 @@ def triple_product_dense(
     out_dtype = jnp.result_type(h.dtype, q.dtype)
 
     if prec == Precision.STRICT or jax.default_backend() != "tpu":
-        hd = h.todense()
-        qd = q.todense()
+        hd = csr_to_dense(h)
+        qd = csr_to_dense(q)
         t = jnp.dot(hd, qd, precision="highest")
         c = jnp.dot(t, hd.T, precision="highest")
     elif prec == Precision.FAST:
-        c = _chain_f32(h.todense(jnp.float32), q.todense(jnp.float32)).astype(out_dtype)
+        c = _chain_f32(csr_to_dense(h, jnp.float32), csr_to_dense(q, jnp.float32)).astype(out_dtype)
     elif prec == Precision.SPLIT:
         # Split both contractions; drop lo*lo terms (below f64 noise here).
-        hd = h.todense()
-        qd = q.todense()
+        hd = csr_to_dense(h)
+        qd = csr_to_dense(q)
         hhi, hlo = split_operand(hd)
         qhi, qlo = split_operand(qd)
         kw = dict(precision="highest", preferred_element_type=jnp.float32)

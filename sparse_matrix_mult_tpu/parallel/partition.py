@@ -31,15 +31,11 @@ def equal_rows_partition(rows: int, parts: int) -> np.ndarray:
 
 
 def row_flops(a_indptr, a_indices, b_indptr) -> np.ndarray:
-    """Partial products contributed by each row of A (host numpy)."""
-    a_indptr = np.asarray(a_indptr)
-    a_indices = np.asarray(a_indices)
-    b_indptr = np.asarray(b_indptr)
-    nnz = int(a_indptr[-1])
-    rows = len(a_indptr) - 1
-    per_entry = b_indptr[a_indices[:nnz] + 1] - b_indptr[a_indices[:nnz]]
-    row_ids = np.repeat(np.arange(rows), np.diff(a_indptr))
-    return np.bincount(row_ids, weights=per_entry, minlength=rows)
+    """Partial products contributed by each row of A (host; native OpenMP
+    library when available, numpy fallback otherwise)."""
+    from ..utils.native import row_flops as _native_row_flops
+
+    return _native_row_flops(a_indptr, a_indices, b_indptr)
 
 
 def flop_balanced_partition(flops: np.ndarray, parts: int) -> np.ndarray:

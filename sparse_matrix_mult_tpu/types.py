@@ -137,6 +137,25 @@ class CSRMatrix:
         """Dense transpose (used by the dense triple-product path)."""
         return self.todense().T
 
+    def with_capacity(self, capacity: int) -> "CSRMatrix":
+        """Return a copy with a different (static) entry capacity.
+
+        Growth zero-pads, shrink truncates (caller must ensure
+        ``capacity >= nnz``).  TPU-native analogue of the reference's
+        ``modifyalloc`` realloc (``/root/reference/src/memfunctions.cpp:77-103``);
+        jit-composable since ``capacity`` is static.
+        """
+        cap = int(capacity)
+        if cap == self.capacity:
+            return self
+        if cap > self.capacity:
+            indices = jnp.pad(self.indices, (0, cap - self.capacity))
+            values = jnp.pad(self.values, (0, cap - self.capacity))
+        else:
+            indices = self.indices[:cap]
+            values = self.values[:cap]
+        return CSRMatrix(self.indptr, indices, values, self.shape)
+
     def block_until_ready(self) -> "CSRMatrix":
         jax.block_until_ready((self.indptr, self.indices, self.values))
         return self

@@ -1,0 +1,198 @@
+"""ctypes loader for the native host runtime (native/libsmmhost.so).
+
+Mirrors the reference's singleton library loader
+(``/root/reference/sparse_matrix_mult/matrix_ops.py:51-184``) but degrades
+gracefully: every entry point has a pure-numpy fallback, so the package works
+without the compiled library (the TPU compute path never depends on it; the
+native layer only accelerates host-side structure analysis and stitching).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["get_native", "expansion_size", "row_flops", "stitch_csr", "csr_triu"]
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_I32 = ctypes.POINTER(ctypes.c_int32)
+_I64 = ctypes.POINTER(ctypes.c_int64)
+_F64 = ctypes.POINTER(ctypes.c_double)
+
+
+def _lib_path() -> str:
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(root, "native", "libsmmhost.so")
+
+
+def _build(path: str) -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(path)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(path)
+    except Exception:
+        return False
+
+
+def get_native() -> Optional[ctypes.CDLL]:
+    """Load (building on first use if needed) the host library, or None."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    if not os.path.exists(path) and not _build(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.smm_expansion_size.restype = ctypes.c_int64
+    lib.smm_expansion_size.argtypes = [_I32, ctypes.c_int64, _I32]
+    lib.smm_row_flops.restype = None
+    lib.smm_row_flops.argtypes = [_I32, _I32, ctypes.c_int64, _I32, _F64]
+    lib.smm_flop_balanced_partition.restype = None
+    lib.smm_flop_balanced_partition.argtypes = [
+        _F64, ctypes.c_int64, ctypes.c_int64, _I64,
+    ]
+    lib.smm_stitch_csr.restype = None
+    lib.smm_stitch_csr.argtypes = [
+        ctypes.c_int64, _I64, _I32, _I64, _I32, _F64, _I64, _I32, _I32, _F64,
+    ]
+    lib.smm_csr_triu.restype = ctypes.c_int64
+    lib.smm_csr_triu.argtypes = [
+        ctypes.c_int64, _I32, _I32, _F64, _I32, _I32, _F64,
+    ]
+    lib.smm_num_threads.restype = ctypes.c_int32
+    lib.smm_num_threads.argtypes = []
+    _LIB = lib
+    return _LIB
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctype)
+
+
+def expansion_size(a_indices, a_nnz: int, b_indptr) -> int:
+    """Total partial products of A @ B (= ESC expand capacity, flop count)."""
+    a_indices = np.ascontiguousarray(np.asarray(a_indices)[:a_nnz], np.int32)
+    b_indptr = np.ascontiguousarray(b_indptr, np.int32)
+    lib = get_native()
+    if lib is not None and a_nnz > 0:
+        return int(
+            lib.smm_expansion_size(_ptr(a_indices, _I32), a_nnz, _ptr(b_indptr, _I32))
+        )
+    if a_nnz == 0:
+        return 0
+    return int((b_indptr[a_indices + 1] - b_indptr[a_indices]).sum())
+
+
+def row_flops(a_indptr, a_indices, b_indptr) -> np.ndarray:
+    """Partial products contributed by each row of A."""
+    a_indptr = np.ascontiguousarray(a_indptr, np.int32)
+    a_indices = np.ascontiguousarray(a_indices, np.int32)
+    b_indptr = np.ascontiguousarray(b_indptr, np.int32)
+    rows = len(a_indptr) - 1
+    lib = get_native()
+    if lib is not None:
+        out = np.empty(rows, np.float64)
+        lib.smm_row_flops(
+            _ptr(a_indptr, _I32), _ptr(a_indices, _I32), rows,
+            _ptr(b_indptr, _I32), _ptr(out, _F64),
+        )
+        return out
+    nnz = int(a_indptr[-1])
+    per_entry = b_indptr[a_indices[:nnz] + 1] - b_indptr[a_indices[:nnz]]
+    row_ids = np.repeat(np.arange(rows), np.diff(a_indptr))
+    return np.bincount(row_ids, weights=per_entry, minlength=rows)
+
+
+def stitch_csr(chunks, total_rows: int, ncols: int):
+    """Stitch row-chunk scipy CSR pieces into one scipy CSR matrix.
+
+    Host analogue of the reference orchestrators' stitch
+    (``/root/reference/src/sparse_sparse_sparse.cpp:269-291``).
+    """
+    import scipy.sparse as sp
+
+    lib = get_native()
+    if lib is None:
+        return sp.vstack(chunks, format="csr")
+
+    n = len(chunks)
+    chunk_rows = np.array([c.shape[0] for c in chunks], np.int64)
+    indptrs = [np.ascontiguousarray(c.indptr, np.int32) for c in chunks]
+    indptr_offsets = np.zeros(n, np.int64)
+    off = 0
+    for i, ip in enumerate(indptrs):
+        indptr_offsets[i] = off
+        off += len(ip)
+    indptr_cat = np.concatenate(indptrs) if indptrs else np.zeros(1, np.int32)
+    entry_offsets = np.zeros(n, np.int64)
+    off = 0
+    for i, c in enumerate(chunks):
+        entry_offsets[i] = off
+        off += c.nnz
+    nnz_total = off
+    indices_cat = (
+        np.concatenate([np.ascontiguousarray(c.indices, np.int32) for c in chunks])
+        if nnz_total
+        else np.zeros(0, np.int32)
+    )
+    values_cat = (
+        np.concatenate([np.ascontiguousarray(c.data, np.float64) for c in chunks])
+        if nnz_total
+        else np.zeros(0, np.float64)
+    )
+    out_indptr = np.empty(total_rows + 1, np.int32)
+    out_indices = np.empty(nnz_total, np.int32)
+    out_values = np.empty(nnz_total, np.float64)
+    lib.smm_stitch_csr(
+        n,
+        _ptr(chunk_rows, _I64),
+        _ptr(indptr_cat, _I32),
+        _ptr(indptr_offsets, _I64),
+        _ptr(indices_cat, _I32),
+        _ptr(values_cat, _F64),
+        _ptr(entry_offsets, _I64),
+        _ptr(out_indptr, _I32),
+        _ptr(out_indices, _I32),
+        _ptr(out_values, _F64),
+    )
+    return sp.csr_matrix(
+        (out_values, out_indices, out_indptr), shape=(total_rows, ncols)
+    )
+
+
+def csr_triu(mat):
+    """Upper-triangle filter of a scipy CSR matrix via the native library."""
+    import scipy.sparse as sp
+
+    lib = get_native()
+    if lib is None:
+        return sp.triu(mat, format="csr")
+    rows = mat.shape[0]
+    indptr = np.ascontiguousarray(mat.indptr, np.int32)
+    indices = np.ascontiguousarray(mat.indices, np.int32)
+    values = np.ascontiguousarray(mat.data, np.float64)
+    out_indptr = np.empty(rows + 1, np.int32)
+    out_indices = np.empty(mat.nnz, np.int32)
+    out_values = np.empty(mat.nnz, np.float64)
+    nnz = lib.smm_csr_triu(
+        rows,
+        _ptr(indptr, _I32), _ptr(indices, _I32), _ptr(values, _F64),
+        _ptr(out_indptr, _I32), _ptr(out_indices, _I32), _ptr(out_values, _F64),
+    )
+    return sp.csr_matrix(
+        (out_values[:nnz], out_indices[:nnz], out_indptr), shape=mat.shape
+    )

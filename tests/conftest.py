@@ -22,6 +22,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (import before backend selection is fine)
 
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 if not os.environ.get("SMM_TESTS_ON_TPU"):
     jax.config.update("jax_platforms", "cpu")
     from jax._src import xla_bridge as _xb  # noqa: E402
