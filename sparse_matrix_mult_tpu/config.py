@@ -50,6 +50,13 @@ class Config:
     dense_path_limit: int = 1 << 28
     # Pallas BSR kernel block edge (MXU native tile).
     block_size: int = 128
+    # Use the Pallas conversion kernels (ops.pallas.convert_kernels) for
+    # large CSR<->dense conversions on TPU.  On other backends they run in
+    # interpreter mode, so the XLA shift networks stay the default there
+    # unless this is forced for testing.
+    use_pallas_convert: bool = True
+    # Force the Pallas conversion path regardless of backend (tests).
+    force_pallas_convert: bool = False
     # Emit the reference's "Multiplication resulted in a zero matrix." notice
     # (/root/reference/sparse_matrix_mult/matrix_ops.py:370-373).
     zero_result_notice: bool = True

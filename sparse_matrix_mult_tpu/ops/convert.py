@@ -22,6 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..config import get_config
 from ..types import CSRMatrix, INDEX_DTYPE
 from .shift_network import (
     compact_1d,
@@ -35,6 +36,26 @@ __all__ = ["csr_to_dense", "dense_to_csr", "csr_row_ids"]
 # Below this many dense elements the one-op XLA scatter/nonzero lowering is
 # already fast and compiles much quicker than a log2(L)-pass network.
 _SMALL = 1 << 18
+
+
+def _pallas_convert_ok(total: int, dtype) -> bool:
+    """Whether the Pallas conversion kernels apply (see ops.pallas).
+
+    They win above ~1e6 elements on TPU; on other backends they execute in
+    the Pallas interpreter (correct but slow), so XLA networks stay default.
+    """
+    import jax as _jax
+
+    cfg = get_config()
+    if cfg.force_pallas_convert:
+        return True
+    return (
+        cfg.use_pallas_convert
+        and _jax.default_backend() == "tpu"
+        and total > _SMALL
+        and total < 2**31
+        and jnp.dtype(dtype).itemsize <= 4
+    )
 
 
 def csr_row_ids(a: CSRMatrix) -> jax.Array:
@@ -72,6 +93,13 @@ def csr_to_dense(a: CSRMatrix, dtype=None, ncols_pad: int | None = None) -> jax.
     if rows * cols <= _SMALL:
         return a.todense(dtype)
 
+    if ncols_pad == cols and _pallas_convert_ok(rows * cols, dtype):
+        from .pallas.convert_kernels import csr_to_dense_pallas
+
+        return csr_to_dense_pallas(
+            a.indptr, a.indices, a.values.astype(dtype), (rows, cols)
+        )
+
     rid = csr_row_ids(a)
     dest = rid * ncols_pad + a.indices  # strictly increasing over live slots
     nnz = a.nnz
@@ -105,6 +133,16 @@ def dense_to_csr(
             if dtype is not None:
                 c = c.astype(dtype)
             return from_dense(c, capacity)
+        if dtype is not None:
+            c = c.astype(dtype)
+            dtype = None
+        if _pallas_convert_ok(rows * cols, c.dtype):
+            from .pallas.convert_kernels import dense_to_csr_pallas
+
+            indptr, indices, values = dense_to_csr_pallas(c, capacity)
+            return CSRMatrix(
+                indptr=indptr, indices=indices, values=values, shape=(rows, cols)
+            )
         keep = c != 0
     counts = jnp.sum(keep, axis=1, dtype=INDEX_DTYPE)
     indptr = jnp.concatenate(

@@ -1,0 +1,372 @@
+"""Pallas TPU kernels for packed-CSR <-> dense conversion.
+
+Single-pass replacements for the XLA shift-network conversion paths in
+:mod:`sparse_matrix_mult_tpu.ops.convert`.  The XLA networks run
+``log2(total_elements)`` full-array passes over HBM (27 passes for a 1e8
+element matrix, ~65 GB of traffic); here the log-passes run on VMEM tiles
+inside a Pallas kernel at VPU speed, and HBM sees each element O(1) times.
+
+Reference parity: TPU-native replacement for the packed-output construction
+inside the Gustavson workers (``/root/reference/src/sparsework.cpp:81-148``)
+and the orchestrators' prefix-sum + memcpy stitch
+(``/root/reference/src/sparse_sparse_sparse.cpp:269-291``).
+
+Design (forced by this toolchain: dynamic-start reads/writes and
+dynamic-offset DMA inside kernels all crash or mis-lower in jax 0.9.0 /
+the v5e remote-compile backend, while *static* gridded kernels are solid):
+
+* Work on the **flattened row-major view** ``(R, L)`` of the matrix, with
+  ``L = 8192`` lanes per flat-row.  Row-major flat order equals CSR order, so
+  per-lane-row compaction preserves the global entry order.
+* **Level 1 (Pallas, fully static)**: per-lane-row concentrate (dense -> CSR)
+  or distribute (CSR -> dense) via binary shift networks on VMEM tiles.  The
+  only traced scalar is ``pl.program_id``; every block spec is static.
+* **Level 2 (XLA scan)**: the variable-offset stitch between packed lane-rows
+  and the global packed buffer uses ``lax.scan`` +
+  ``lax.dynamic_update_slice`` / ``lax.dynamic_slice`` -- XLA executes these
+  in place, so traffic stays O(N).  Lane-rows are written in ascending
+  order, each group's zero tail overwritten by the next group's live data
+  (the same trick the reference's stitch uses).
+
+x64 note: the package enables jax_enable_x64 for f64 scipy parity, but this
+TPU toolchain cannot lower kernels traced under x64 semantics (weak int64
+scalars appear in index maps and crash or infinitely recurse the Mosaic
+convert rule).  Every ``pallas_call`` here is therefore traced inside a
+``jax.enable_x64(False)`` scope; all arrays involved are i32/f32 so the
+semantics are unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+
+__all__ = [
+    "dense_to_csr_pallas",
+    "csr_to_dense_pallas",
+    "LANE",
+]
+
+_I32 = jnp.int32
+LANE = 8192  # lanes per flat-row in the (R, L) view
+_BLOCK_ROWS = 16  # flat-rows per Pallas grid step
+_SCAN_GROUP = 16  # flat-rows per level-2 scan step
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# In-kernel lane-axis shift networks.  Only roll(concat-of-slices) / where /
+# iota / compare ops -- everything Mosaic lowers to full-rate VPU code.
+# ---------------------------------------------------------------------------
+
+
+def _roll(x, d: int):
+    """Static circular shift along the last axis (== jnp.roll(x, d, -1))."""
+    d %= x.shape[-1]
+    if d == 0:
+        return x
+    return jnp.concatenate([x[..., -d:], x[..., :-d]], axis=-1)
+
+
+def _lane_cumsum(x):
+    """Inclusive prefix sum along the last axis via log2 shifted adds."""
+    L = x.shape[-1]
+    pos = lax.broadcasted_iota(_I32, x.shape, x.ndim - 1)
+    d = 1
+    while d < L:
+        x = x + jnp.where(pos >= d, _roll(x, d), 0)
+        d *= 2
+    return x
+
+
+def _concentrate_lanes(x_tuple, live):
+    """Compact live elements of each lane-row to its prefix, order-preserving."""
+    L = live.shape[-1]
+    live_i = live.astype(_I32)
+    rank = _lane_cumsum(live_i) - 1
+    pos = lax.broadcasted_iota(_I32, live.shape, live.ndim - 1)
+    s = jnp.where(live, pos - rank, 0)
+    xs = tuple(jnp.where(live, x, 0) for x in x_tuple)
+
+    nbits = int(L).bit_length()
+    for b in range(nbits):
+        d = 1 << b
+        if d >= L:
+            break
+        sr = _roll(s, -d)
+        arrive = (pos < L - d) & ((sr & d) != 0)
+        leave = (s & d) != 0
+        xs = tuple(
+            jnp.where(arrive, _roll(x, -d), jnp.where(leave, 0, x)) for x in xs
+        )
+        s = jnp.where(arrive, sr - d, jnp.where(leave, 0, s))
+    return xs
+
+
+def _distribute_lanes(x_tuple, count, dest_packed):
+    """Inverse network: move packed prefix p < count to lane dest_packed[p].
+
+    ``dest_packed`` must be strictly increasing over the live prefix of each
+    lane-row and bounded by the lane length.
+    """
+    L = x_tuple[0].shape[-1]
+    pos = lax.broadcasted_iota(_I32, x_tuple[0].shape, x_tuple[0].ndim - 1)
+    live = pos < count
+    dest = jnp.where(live, dest_packed, pos)
+    s = jnp.where(live, dest - pos, 0)
+    xs = tuple(jnp.where(live, x, 0) for x in x_tuple)
+
+    nbits = int(L).bit_length()
+    for b in range(nbits - 1, -1, -1):
+        d = 1 << b
+        if d >= L:
+            continue
+        sr = _roll(s, d)
+        arrive = (pos >= d) & ((sr & d) != 0)
+        leave = (s & d) != 0
+        xs = tuple(
+            jnp.where(arrive, _roll(x, d), jnp.where(leave, 0, x)) for x in xs
+        )
+        s = jnp.where(arrive, sr - d, jnp.where(leave, 0, s))
+    return xs
+
+
+# ---------------------------------------------------------------------------
+# Level-1 kernels (fully static Pallas)
+# ---------------------------------------------------------------------------
+
+
+def _concentrate_kernel(c_ref, pv_ref, pp_ref, *, G: int, L: int, total: int):
+    """Per-lane-row compaction of the flat view.
+
+    Outputs the packed values and their *flat positions* (row-major index
+    into the original matrix); the wrapper turns positions into column ids
+    with one cheap mod.
+    """
+    g = pl.program_id(0)
+    tile = c_ref[...]
+    base = g * np.int32(G * L)
+    flat = (
+        base
+        + lax.broadcasted_iota(_I32, (G, L), 0) * np.int32(L)
+        + lax.broadcasted_iota(_I32, (G, L), 1)
+    )
+    live = (tile != 0) & (flat < total)
+    pv, pp = _concentrate_lanes((tile, flat), live)
+    pv_ref[...] = pv
+    pp_ref[...] = pp
+
+
+def _distribute_kernel(sv_ref, sd_ref, cnt_ref, out_ref, *, G: int, L: int):
+    """Per-lane-row expansion: staged packed rows -> flat dense rows."""
+    sv = sv_ref[...]
+    sd = sd_ref[...]
+    cnt = cnt_ref[...]  # (G, 1) int32
+    pos = lax.broadcasted_iota(_I32, (G, L), 1)
+    sd = jnp.where(pos < cnt, sd, np.int32(L - 1))  # clamp junk tail
+    (dense,) = _distribute_lanes((sv,), cnt, sd)
+    out_ref[...] = dense
+
+
+def _run_concentrate(c2d, total: int, G: int = _BLOCK_ROWS, L: int = LANE):
+    R = c2d.shape[0]
+    kern = functools.partial(_concentrate_kernel, G=G, L=L, total=total)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kern,
+            grid=(R // G,),
+            in_specs=[pl.BlockSpec((G, L), lambda g: (g, 0))],
+            out_specs=[
+                pl.BlockSpec((G, L), lambda g: (g, 0)),
+                pl.BlockSpec((G, L), lambda g: (g, 0)),
+            ],
+            out_shape=(
+                jax.ShapeDtypeStruct((R, L), c2d.dtype),
+                jax.ShapeDtypeStruct((R, L), _I32),
+            ),
+            interpret=_interpret(),
+        )(c2d)
+
+
+def _run_distribute(sv, sd, cnt, G: int = _BLOCK_ROWS, L: int = LANE):
+    R = sv.shape[0]
+    kern = functools.partial(_distribute_kernel, G=G, L=L)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kern,
+            grid=(R // G,),
+            in_specs=[
+                pl.BlockSpec((G, L), lambda g: (g, 0)),
+                pl.BlockSpec((G, L), lambda g: (g, 0)),
+                pl.BlockSpec((G, 1), lambda g: (g, 0)),
+            ],
+            out_specs=pl.BlockSpec((G, L), lambda g: (g, 0)),
+            out_shape=jax.ShapeDtypeStruct((R, L), sv.dtype),
+            interpret=_interpret(),
+        )(sv, sd, cnt)
+
+
+# ---------------------------------------------------------------------------
+# dense -> packed CSR
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "lane", "scan_group"))
+def dense_to_csr_pallas(
+    c: jax.Array,
+    capacity: int,
+    lane: int = LANE,
+    scan_group: int = _SCAN_GROUP,
+):
+    """Packed ``(indptr, indices, values)`` of the nonzero entries of ``c``.
+
+    Returns arrays of length ``capacity``; entries past ``nnz`` are zero.
+    ``capacity`` must be >= nnz (callers size it from the true structure;
+    excess entries are silently dropped by the trim).
+    """
+    m, n = c.shape
+    L = int(lane)
+    Gs = int(scan_group)
+    G = _BLOCK_ROWS
+    total = m * n
+    R = -(-total // L)
+    R_pad = -(-R // (G * Gs)) * (G * Gs)
+    ng2 = R_pad // Gs  # level-2 scan steps
+    cap_pad = capacity + Gs * L  # slack so every level-2 DUS has static size
+
+    flat = jnp.reshape(c, (-1,))
+    if R_pad * L != total:
+        flat = jnp.concatenate([flat, jnp.zeros(R_pad * L - total, c.dtype)])
+    c2d = jnp.reshape(flat, (R_pad, L))
+
+    # Matrix-row counts -> indptr (the CSR contract), and flat-row counts ->
+    # level-2 offsets.  Same mask as the kernel's live test.
+    row_counts = jnp.sum(c != 0, axis=1, dtype=_I32)
+    indptr = jnp.concatenate(
+        [jnp.zeros(1, _I32), jnp.cumsum(row_counts, dtype=_I32)]
+    )
+    flat_counts = jnp.sum(c2d != 0, axis=1, dtype=_I32)
+    if R_pad * L != total:
+        # Padding lanes are zero already; nothing to correct.
+        pass
+    q = jnp.concatenate([jnp.zeros(1, _I32), jnp.cumsum(flat_counts, dtype=_I32)])
+
+    # Level 1: per-lane-row compaction on device.
+    pv, pp = _run_concentrate(c2d, total, G=G, L=L)
+
+    # Level 2: stitch packed lane-rows into the global packed buffer.
+    out_v0 = jnp.zeros(cap_pad, c.dtype)
+    out_p0 = jnp.zeros(cap_pad, _I32)
+
+    def step(carry, g):
+        out_v, out_p = carry
+        r0 = g * Gs
+        z = jnp.zeros((), _I32)
+        rows_v = lax.dynamic_slice(pv, (r0, z), (Gs, L))
+        rows_p = lax.dynamic_slice(pp, (r0, z), (Gs, L))
+        qs = lax.dynamic_slice(q, (r0,), (Gs + 1,))
+        base = qs[0]
+        chunk_v = jnp.zeros(Gs * L, c.dtype)
+        chunk_p = jnp.zeros(Gs * L, _I32)
+        for r in range(Gs):
+            off = qs[r] - base
+            chunk_v = lax.dynamic_update_slice(chunk_v, rows_v[r], (off,))
+            chunk_p = lax.dynamic_update_slice(chunk_p, rows_p[r], (off,))
+        out_v = lax.dynamic_update_slice(out_v, chunk_v, (base,))
+        out_p = lax.dynamic_update_slice(out_p, chunk_p, (base,))
+        return (out_v, out_p), None
+
+    (out_v, out_p), _ = lax.scan(
+        step, (out_v0, out_p0), jnp.arange(ng2, dtype=_I32)
+    )
+
+    # Trim the slack; zero everything past nnz (region beyond the last
+    # group's write window is stale).
+    nnz = indptr[-1]
+    slot = jnp.arange(capacity, dtype=_I32)
+    live = slot < nnz
+    values = jnp.where(live, out_v[:capacity], 0)
+    indices = jnp.where(live, out_p[:capacity] % n, 0).astype(_I32)
+    return indptr, indices, values
+
+
+# ---------------------------------------------------------------------------
+# packed CSR -> dense
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "lane", "scan_group"))
+def csr_to_dense_pallas(
+    indptr,
+    indices,
+    values,
+    shape,
+    lane: int = LANE,
+    scan_group: int = _SCAN_GROUP,
+):
+    """Dense (m, n) array from packed CSR via staged lane-row distribution.
+
+    Entries must be sorted by (row, col) with no duplicates -- true for every
+    CSR this framework produces.
+    """
+    m, n = shape
+    L = int(lane)
+    Gs = int(scan_group)
+    G = _BLOCK_ROWS
+    total = m * n
+    R = -(-total // L)
+    R_pad = -(-R // (G * Gs)) * (G * Gs)
+    ng2 = R_pad // Gs
+    cap = values.shape[0]
+
+    indptr = indptr.astype(_I32)
+    indices = indices.astype(_I32)
+
+    # Flat destination of every packed entry: row_id * n + col.  Row ids via
+    # boundary markers + cumsum (the marker scatter touches only m+1 slots).
+    nnz = indptr[-1]
+    marker = jnp.zeros(cap + 1, _I32).at[indptr[1:]].add(1)
+    row_ids = jnp.cumsum(marker[:cap], dtype=_I32)
+    slot = jnp.arange(cap, dtype=_I32)
+    live = slot < nnz
+    # Dead (padding) entries get a sentinel destination beyond every edge so
+    # they never land in any flat-row's count.
+    flat_dest = jnp.where(live, row_ids * n + indices, R_pad * L)
+
+    # Packed-position boundaries of each flat-row: p[r] = first packed entry
+    # with destination >= r*L.  (flat_dest is sorted.)
+    edges = jnp.arange(R_pad + 1, dtype=_I32) * L
+    p = jnp.searchsorted(flat_dest, edges, side="left").astype(_I32)
+
+    # Level 2: stage each flat-row's packed run at its own slot.
+    vals_pad = jnp.concatenate([values, jnp.zeros(L, values.dtype)])
+    dest_pad = jnp.concatenate([flat_dest, jnp.zeros(L, _I32)])
+
+    def step(_, g):
+        r0 = g * Gs
+        ps = lax.dynamic_slice(p, (r0,), (Gs + 1,))
+        sv = []
+        sd = []
+        for r in range(Gs):
+            start = ps[r]
+            sv.append(lax.dynamic_slice(vals_pad, (start,), (L,)))
+            sd.append(lax.dynamic_slice(dest_pad, (start,), (L,)) - (r0 + r) * L)
+        cnt = ps[1:] - ps[:-1]
+        return None, (jnp.stack(sv), jnp.stack(sd), cnt)
+
+    _, (sv, sd, cnt) = lax.scan(step, None, jnp.arange(ng2, dtype=_I32))
+    sv = jnp.reshape(sv, (R_pad, L))
+    sd = jnp.reshape(sd, (R_pad, L))
+    cnt = jnp.reshape(cnt, (R_pad, 1))
+
+    dense_flat = _run_distribute(sv, sd, cnt, G=G, L=L)
+    dense_flat = jnp.reshape(dense_flat, (-1,))[:total]
+    return jnp.reshape(dense_flat, (m, n))
