@@ -32,6 +32,7 @@ from ._version import __version__
 from .api import multiply, sparse_matrix_multiply, triple_product
 from .config import Config, Precision, get_config, set_config
 from .types import CSRMatrix, bucket_capacity, from_dense, from_scipy, to_scipy
+from .types_bsr import BSRMatrix, bsr_from_dense, bsr_from_scipy, bsr_to_dense
 
 __all__ = [
     "sparse_matrix_multiply",
@@ -42,6 +43,10 @@ __all__ = [
     "to_scipy",
     "from_dense",
     "bucket_capacity",
+    "BSRMatrix",
+    "bsr_from_scipy",
+    "bsr_from_dense",
+    "bsr_to_dense",
     "Config",
     "Precision",
     "get_config",

@@ -1,0 +1,87 @@
+"""Differential tests for the BSR container and Pallas block-sparse SpGEMM.
+
+On CPU the kernel runs in the Pallas interpreter (same program the TPU
+compiles).  Oracle: scipy/numpy dense products.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from sparse_matrix_mult_tpu.ops.pallas.bsr_spgemm import bsr_matmul_dense
+from sparse_matrix_mult_tpu.types_bsr import (
+    bsr_from_dense,
+    bsr_from_scipy,
+    bsr_to_dense,
+)
+
+
+def block_sparse(nbr, nbc, occ, b=128, seed=0, inner_density=0.3):
+    r = np.random.default_rng(seed)
+    mask = r.random((nbr, nbc)) < occ
+    dense = np.zeros((nbr * b, nbc * b), np.float32)
+    for i in range(nbr):
+        for j in range(nbc):
+            if mask[i, j]:
+                blk = r.standard_normal((b, b)).astype(np.float32)
+                blk *= r.random((b, b)) < inner_density
+                dense[i * b : (i + 1) * b, j * b : (j + 1) * b] = blk
+    return dense
+
+
+CASES = [
+    (3, 4, 0.5),
+    (4, 4, 0.25),
+    (2, 2, 0.0),  # empty matrix
+    (5, 3, 1.0),  # fully dense blocks
+]
+
+
+@pytest.mark.parametrize("nbr,nbc,occ", CASES)
+def test_bsr_matmul_matches_numpy(nbr, nbc, occ):
+    ad = block_sparse(nbr, nbc, occ, seed=nbr * 10 + nbc)
+    rng = np.random.default_rng(1)
+    bd = rng.standard_normal((nbc * 128, 300)).astype(np.float32)
+
+    a_bsr = bsr_from_scipy(sp.csr_matrix(ad), 128, dtype=jnp.float32)
+    got = np.asarray(bsr_matmul_dense(a_bsr, jnp.asarray(bd)))
+    ref = ad @ bd
+    assert got.shape == ref.shape
+    assert np.allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("nbr,nbc,occ", CASES)
+def test_bsr_from_dense_roundtrip(nbr, nbc, occ):
+    ad = block_sparse(nbr, nbc, occ, seed=nbr + nbc)
+    cap = max(1, int((np.abs(ad).sum(axis=0) >= 0).size))  # loose
+    cap = nbr * nbc  # exact upper bound on block count
+    a2 = bsr_from_dense(jnp.asarray(ad), cap)
+    assert np.allclose(np.asarray(bsr_to_dense(a2)), ad)
+
+
+def test_bsr_nonmultiple_shape():
+    """Logical shapes that are not multiples of the block edge."""
+    rng = np.random.default_rng(2)
+    ad = np.zeros((200, 300), np.float32)
+    ad[:128, :128] = rng.standard_normal((128, 128)).astype(np.float32)
+    ad[150, 250] = 3.0
+    bd = rng.standard_normal((300, 190)).astype(np.float32)
+
+    a_bsr = bsr_from_scipy(sp.csr_matrix(ad), 128, dtype=jnp.float32)
+    assert a_bsr.shape == (200, 300)
+    got = np.asarray(bsr_matmul_dense(a_bsr, jnp.asarray(bd)))
+    assert got.shape == (200, 190)
+    assert np.allclose(got, ad @ bd, rtol=1e-4, atol=1e-4)
+
+
+def test_bsr_empty_block_rows_are_zero():
+    ad = np.zeros((4 * 128, 2 * 128), np.float32)
+    ad[2 * 128 : 3 * 128, :128] = 1.0  # only block-row 2 populated
+    bd = np.ones((2 * 128, 128), np.float32)
+    a_bsr = bsr_from_scipy(sp.csr_matrix(ad), 128, dtype=jnp.float32)
+    got = np.asarray(bsr_matmul_dense(a_bsr, jnp.asarray(bd)))
+    assert np.all(got[: 2 * 128] == 0)
+    assert np.all(got[3 * 128 :] == 0)
+    assert np.allclose(got, ad @ bd)
