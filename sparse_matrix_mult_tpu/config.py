@@ -57,6 +57,11 @@ class Config:
     use_pallas_convert: bool = True
     # Force the Pallas conversion path regardless of backend (tests).
     force_pallas_convert: bool = False
+    # Use the Pallas upper-triangular matmul kernel for symmetric products
+    # and the triple product's second contraction on TPU (~2x fewer FLOPs).
+    use_pallas_triu: bool = True
+    # Force the triangular kernel regardless of backend (tests).
+    force_pallas_triu: bool = False
     # Emit the reference's "Multiplication resulted in a zero matrix." notice
     # (/root/reference/sparse_matrix_mult/matrix_ops.py:370-373).
     zero_result_notice: bool = True

@@ -80,6 +80,19 @@ def _expected_terms(a: CSRMatrix, b: CSRMatrix) -> float:
     return cap / max(rows, 1)
 
 
+def _triu_kernel_ok(m: int, n: int, prec: str) -> bool:
+    cfg = get_config()
+    if cfg.force_pallas_triu:
+        return True
+    return (
+        cfg.use_pallas_triu
+        and prec == Precision.FAST
+        and jax.default_backend() == "tpu"
+        and m == n
+        and m * n > 1 << 20
+    )
+
+
 def spgemm_dense_out(
     a: CSRMatrix,
     b: CSRMatrix,
@@ -93,10 +106,20 @@ def spgemm_dense_out(
     matching the reference's contract.
     """
     prec = resolve_precision(precision, _expected_terms(a, b))
-    c = product_dense(a, b, prec)
     if symmetric:
-        c = jnp.triu(c)
-    return c
+        m, n = a.shape[0], b.shape[1]
+        if _triu_kernel_ok(m, n, prec):
+            # Upper-tile-only product: skips the strictly-lower MXU tiles
+            # entirely (the reference's "compute upper only" contract,
+            # sparse_sparse_dense.cpp:59-62, lifted to tile granularity).
+            from .pallas.triu_matmul import matmul_triu
+
+            ad = csr_to_dense(a, jnp.float32)
+            bd = csr_to_dense(b, jnp.float32)
+            out_dtype = jnp.result_type(a.dtype, b.dtype)
+            return jnp.triu(matmul_triu(ad, bd)).astype(out_dtype)
+        return jnp.triu(product_dense(a, b, prec))
+    return product_dense(a, b, prec)
 
 
 def spgemm_sparse_out(

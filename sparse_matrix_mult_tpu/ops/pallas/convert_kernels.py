@@ -144,12 +144,15 @@ def _distribute_lanes(x_tuple, count, dest_packed):
 # ---------------------------------------------------------------------------
 
 
-def _concentrate_kernel(c_ref, pv_ref, pp_ref, *, G: int, L: int, total: int):
+def _concentrate_kernel(
+    c_ref, pv_ref, pp_ref, cnt_ref, *, G: int, L: int, total: int
+):
     """Per-lane-row compaction of the flat view.
 
-    Outputs the packed values and their *flat positions* (row-major index
-    into the original matrix); the wrapper turns positions into column ids
-    with one cheap mod.
+    Outputs the packed values, their *flat positions* (row-major index into
+    the original matrix; the wrapper turns positions into column ids with one
+    cheap mod), and the per-lane-row live count (lane 0 of a (G, 128) tile)
+    so no separate full-array count pass is needed.
     """
     g = pl.program_id(0)
     tile = c_ref[...]
@@ -163,6 +166,9 @@ def _concentrate_kernel(c_ref, pv_ref, pp_ref, *, G: int, L: int, total: int):
     pv, pp = _concentrate_lanes((tile, flat), live)
     pv_ref[...] = pv
     pp_ref[...] = pp
+    cnt_ref[...] = jnp.broadcast_to(
+        jnp.sum(live.astype(_I32), axis=1, keepdims=True), (G, 128)
+    )
 
 
 def _distribute_kernel(sv_ref, sd_ref, cnt_ref, out_ref, *, G: int, L: int):
@@ -187,10 +193,12 @@ def _run_concentrate(c2d, total: int, G: int = _BLOCK_ROWS, L: int = LANE):
             out_specs=[
                 pl.BlockSpec((G, L), lambda g: (g, 0)),
                 pl.BlockSpec((G, L), lambda g: (g, 0)),
+                pl.BlockSpec((G, 128), lambda g: (g, 0)),
             ],
             out_shape=(
                 jax.ShapeDtypeStruct((R, L), c2d.dtype),
                 jax.ShapeDtypeStruct((R, L), _I32),
+                jax.ShapeDtypeStruct((R, 128), _I32),
             ),
             interpret=_interpret(),
         )(c2d)
@@ -235,6 +243,7 @@ def dense_to_csr_pallas(
     m, n = c.shape
     L = int(lane)
     Gs = int(scan_group)
+    Gs = 1 << (Gs - 1).bit_length()  # pairwise merge needs a power of two
     G = _BLOCK_ROWS
     total = m * n
     R = -(-total // L)
@@ -247,20 +256,11 @@ def dense_to_csr_pallas(
         flat = jnp.concatenate([flat, jnp.zeros(R_pad * L - total, c.dtype)])
     c2d = jnp.reshape(flat, (R_pad, L))
 
-    # Matrix-row counts -> indptr (the CSR contract), and flat-row counts ->
-    # level-2 offsets.  Same mask as the kernel's live test.
-    row_counts = jnp.sum(c != 0, axis=1, dtype=_I32)
-    indptr = jnp.concatenate(
-        [jnp.zeros(1, _I32), jnp.cumsum(row_counts, dtype=_I32)]
-    )
-    flat_counts = jnp.sum(c2d != 0, axis=1, dtype=_I32)
-    if R_pad * L != total:
-        # Padding lanes are zero already; nothing to correct.
-        pass
+    # Level 1: per-lane-row compaction on device.  The kernel also emits the
+    # per-lane-row live counts, saving a separate full-array count pass.
+    pv, pp, cnt = _run_concentrate(c2d, total, G=G, L=L)
+    flat_counts = cnt[:, 0]
     q = jnp.concatenate([jnp.zeros(1, _I32), jnp.cumsum(flat_counts, dtype=_I32)])
-
-    # Level 1: per-lane-row compaction on device.
-    pv, pp = _run_concentrate(c2d, total, G=G, L=L)
 
     # Level 2: stitch packed lane-rows into the global packed buffer.
     out_v0 = jnp.zeros(cap_pad, c.dtype)
@@ -290,11 +290,18 @@ def dense_to_csr_pallas(
 
     # Trim the slack; zero everything past nnz (region beyond the last
     # group's write window is stale).
-    nnz = indptr[-1]
+    nnz = q[-1]
     slot = jnp.arange(capacity, dtype=_I32)
     live = slot < nnz
+    pos = out_p[:capacity]
     values = jnp.where(live, out_v[:capacity], 0)
-    indices = jnp.where(live, out_p[:capacity] % n, 0).astype(_I32)
+    indices = jnp.where(live, pos % n, 0).astype(_I32)
+
+    # indptr from the packed positions: indptr[r] = #entries with flat
+    # position < r*n.  (Positions are sorted; stale tail masked to total.)
+    pos_sorted = jnp.where(live, pos, total)
+    edges = jnp.arange(m + 1, dtype=pos_sorted.dtype) * n
+    indptr = jnp.searchsorted(pos_sorted, edges, side="left").astype(_I32)
     return indptr, indices, values
 
 

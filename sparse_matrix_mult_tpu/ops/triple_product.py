@@ -47,7 +47,20 @@ def triple_product_dense(
     prec = resolve_precision(precision, _expected_terms(h, q))
     out_dtype = jnp.result_type(h.dtype, q.dtype)
 
-    if prec == Precision.STRICT or jax.default_backend() != "tpu":
+    from .dense_path import _triu_kernel_ok
+
+    if prec == Precision.FAST and _triu_kernel_ok(h.shape[0], h.shape[0], prec):
+        # Second contraction via the upper-tile-only kernel: only the
+        # j >= i tiles of T . H^T are loaded and multiplied, mirroring the
+        # reference's k-from-i loop (sparse_sparse_dense.cpp:200-216).
+        from .pallas.triu_matmul import matmul_triu
+
+        hd = csr_to_dense(h, jnp.float32)
+        qd = csr_to_dense(q, jnp.float32)
+        kw = dict(precision="highest", preferred_element_type=jnp.float32)
+        t = jnp.dot(hd, qd, **kw)
+        c = matmul_triu(t, hd, transpose_b=True).astype(out_dtype)
+    elif prec == Precision.STRICT or jax.default_backend() != "tpu":
         hd = csr_to_dense(h)
         qd = csr_to_dense(q)
         t = jnp.dot(hd, qd, precision="highest")
