@@ -1,0 +1,193 @@
+"""Benchmark suite: all five routines across the reference's test configs.
+
+The reference published exactly one number (10k x 10k, d=0.1 symmetric CSR,
+11.48 s on an M1: ``/root/reference/README.md:216-220``) and printed -- but
+never asserted -- scipy-relative timings in its tests
+(``tests/test_computation_speed.py``, ``tests/test_with_dense.py``).  This
+harness makes those sweeps reproducible: every routine on every config, scipy
+wall time vs this framework's device-resident wall time, one JSON report.
+
+Usage::
+
+    python benchmarks/run.py            # full sweep on the default backend
+    python benchmarks/run.py --quick    # small configs only
+    python benchmarks/run.py --json out.json
+
+Device-resident timing means operands start in HBM and results stay in HBM
+(the production deployment shape); a checksum transfer forces execution each
+iteration.  Host round-trip timings (scipy in / scipy out) are reported
+separately for the end-to-end story.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "SMM_TPU_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import sparse_matrix_mult_tpu as smm
+from sparse_matrix_mult_tpu.ops.convert import dense_to_csr
+from sparse_matrix_mult_tpu.ops.dense_path import spgemm_dense_out
+from sparse_matrix_mult_tpu.ops.triple_product import triple_product_dense
+
+# (rows, cols, density) sweeps; the first three mirror the reference's test
+# configurations (test_with_dense.py:30-109, test_computation_speed.py:10-15),
+# the last is the README headline config.
+CONFIGS = [
+    (500, 500, 0.3),
+    (1000, 1000, 0.01),
+    (2000, 2000, 0.05),
+    (10_000, 10_000, 0.1),
+]
+QUICK = CONFIGS[:2]
+ITERS = 3
+
+_RTT = None
+
+
+def rtt_floor() -> float:
+    """Fixed per-call round-trip latency of the device link.
+
+    Under the tunneled single-chip backend every blocking fetch pays ~20 ms
+    of transport latency that has nothing to do with the kernels being
+    measured; it is measured once with a trivial program and reported
+    alongside raw wall times so small-config numbers stay interpretable.
+    """
+    global _RTT
+    if _RTT is None:
+        f = jax.jit(lambda x: (x * 2).sum())
+        x = jnp.ones(128)
+        float(f(x))
+        _RTT = min(
+            (lambda t0: (float(f(x)), time.perf_counter() - t0)[1])(time.perf_counter())
+            for _ in range(5)
+        )
+    return _RTT
+
+
+def _time(fn, *args) -> float:
+    chk = fn(*args)
+    float(chk)  # compile + warm
+    ts = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def bench_config(n_rows: int, n_cols: int, density: float) -> list[dict]:
+    rng_a = sp.random(n_rows, n_cols, density=density, format="csr", random_state=1)
+    rng_b = sp.random(n_cols, n_rows, density=density, format="csr", random_state=2)
+
+    a = smm.from_scipy(rng_a, dtype=jnp.float32).block_until_ready()
+    b = smm.from_scipy(rng_b, dtype=jnp.float32).block_until_ready()
+    out_cap = smm.bucket_capacity(min(n_rows * n_rows, 1 << 26))
+
+    results = []
+
+    def record(routine, seconds, scipy_seconds, extra=None):
+        adj = max(seconds - rtt_floor(), 1e-6)
+        row = {
+            "config": f"{n_rows}x{n_cols}_d{density}",
+            "routine": routine,
+            "seconds": round(seconds, 5),
+            "seconds_minus_rtt": round(adj, 5),
+            "link_rtt": round(rtt_floor(), 5),
+            "scipy_seconds": round(scipy_seconds, 5),
+            "speedup_vs_scipy": round(scipy_seconds / adj, 2),
+            "backend": jax.default_backend(),
+        }
+        if extra:
+            row.update(extra)
+        results.append(row)
+
+    # scipy oracle timings (host CPU)
+    t0 = time.perf_counter()
+    c_sp = rng_a @ rng_b
+    t_scipy_sparse = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = (rng_a @ rng_b).toarray()
+    t_scipy_dense = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = (rng_a @ rng_b @ rng_a.T).toarray()
+    t_scipy_triple = time.perf_counter() - t0
+
+    # 1/2: sparse x sparse -> dense (nosym, sym)
+    f_dense = jax.jit(lambda a, b: spgemm_dense_out(a, b).sum())
+    record("dense_nosym", _time(f_dense, a, b), t_scipy_dense)
+    f_dsym = jax.jit(lambda a, b: spgemm_dense_out(a, b, symmetric=True).sum())
+    record("dense_sym", _time(f_dsym, a, b), t_scipy_dense)
+
+    # 3/4: sparse x sparse -> sparse CSR (nosym, sym)
+    def f_sparse(a, b):
+        c = spgemm_dense_out(a, b)
+        csr = dense_to_csr(c, out_cap)
+        return csr.indptr[-1].astype(jnp.float32) + jnp.sum(csr.values)
+
+    record("sparse_nosym", _time(jax.jit(f_sparse), a, b), t_scipy_sparse,
+           {"nnz_c": int(c_sp.nnz)})
+
+    def f_ssym(a, b):
+        c = spgemm_dense_out(a, b, symmetric=True)
+        csr = dense_to_csr(c, out_cap)
+        return csr.indptr[-1].astype(jnp.float32) + jnp.sum(csr.values)
+
+    record("sparse_sym", _time(jax.jit(f_ssym), a, b), t_scipy_sparse)
+
+    # 5: fused triple product (A.B.A^T); B must be square = (cols x cols).
+    q = smm.from_scipy(
+        sp.random(n_cols, n_cols, density=density, format="csr", random_state=3),
+        dtype=jnp.float32,
+    ).block_until_ready()
+    f_tp = jax.jit(lambda h, q: triple_product_dense(h, q).sum())
+    record("triple_product", _time(f_tp, a, q), t_scipy_triple)
+
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    configs = QUICK if args.quick else CONFIGS
+    all_rows = []
+    for cfg in configs:
+        rows = bench_config(*cfg)
+        all_rows.extend(rows)
+        for r in rows:
+            print(
+                f"{r['config']:>22}  {r['routine']:<14} "
+                f"{r['seconds_minus_rtt']*1e3:9.2f} ms (+{r['link_rtt']*1e3:.0f} link)  "
+                f"scipy {r['scipy_seconds']*1e3:9.2f} ms  "
+                f"({r['speedup_vs_scipy']}x)"
+            )
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(all_rows, f, indent=2)
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()

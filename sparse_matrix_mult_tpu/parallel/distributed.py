@@ -23,6 +23,7 @@ so no chip ever materializes a full dense B.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -33,12 +34,15 @@ from jax import lax
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.convert import dense_to_csr
 from ..types import CSRMatrix
 from .mesh import row_mesh
 
 __all__ = [
     "ring_matmul",
     "spgemm_dense_distributed",
+    "spgemm_csr_distributed",
+    "ShardedCSR",
     "triple_product_distributed",
     "pad_to_multiple",
 ]
@@ -134,6 +138,113 @@ def spgemm_dense_distributed(
     """sparse x sparse -> dense across the whole mesh (row-sharded output)."""
     mesh = mesh or row_mesh()
     return _spgemm_dist_jit(mesh, symmetric)(a, b)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ShardedCSR:
+    """Row-sharded packed-CSR product: per-shard CSR chunks on device.
+
+    The multi-chip analogue of the reference orchestrators' per-thread
+    partial matrices *before* the serial stitch
+    (``/root/reference/src/sparse_sparse_sparse.cpp:90-128``): each device
+    holds the packed CSR of its own contiguous row block.  ``to_scipy``
+    performs the stitch on host via the native C++ runtime.
+
+    * ``indptrs``  -- (n_shards, rows_per_shard + 1) int32, local row ptrs.
+    * ``indices``/``values`` -- (n_shards, shard_capacity), padded.
+    * ``shape``    -- logical global shape (static).
+    """
+
+    indptrs: jax.Array
+    indices: jax.Array
+    values: jax.Array
+    shape: tuple
+
+    def tree_flatten(self):
+        return (self.indptrs, self.indices, self.values), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, shape=aux[0])
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.indptrs.shape[0])
+
+    def to_scipy(self):
+        """Gather the shards and stitch into one scipy CSR on host."""
+        import scipy.sparse as sp
+
+        from ..utils.native import stitch_csr
+
+        m, ncols = self.shape
+        rows_per = self.indptrs.shape[1] - 1
+        chunks = []
+        row0 = 0
+        for s in range(self.n_shards):
+            if row0 >= m:
+                break
+            rows_here = min(rows_per, m - row0)
+            ip = np.asarray(self.indptrs[s])[: rows_here + 1]
+            nnz = int(ip[-1])
+            chunks.append(
+                sp.csr_matrix(
+                    (
+                        np.asarray(self.values[s][:nnz]),
+                        np.asarray(self.indices[s][:nnz]),
+                        ip,
+                    ),
+                    shape=(rows_here, ncols),
+                )
+            )
+            row0 += rows_here
+        return stitch_csr(chunks, m, ncols)
+
+
+def spgemm_csr_distributed(
+    a: CSRMatrix,
+    b: CSRMatrix,
+    shard_capacity: int | None = None,
+    symmetric: bool = False,
+    mesh: Optional[Mesh] = None,
+) -> ShardedCSR:
+    """sparse x sparse -> row-sharded packed CSR across the mesh.
+
+    The ring product leaves C row-sharded; each device then extracts its own
+    row block to packed CSR *locally* (no cross-chip traffic), the
+    distributed replacement for the reference's count->allocate->stitch
+    pipeline.  ``shard_capacity`` is the static per-shard entry budget
+    (default: the dense row-block size, always sufficient).
+    """
+    mesh = mesh or row_mesh()
+    (axis,) = mesh.axis_names
+    n = mesh.devices.size
+    m = a.shape[0]
+    ncols = b.shape[1]
+    mp = -(-m // n) * n
+    rows_loc = mp // n
+    cap_l = int(shard_capacity) if shard_capacity is not None else rows_loc * ncols
+
+    cd = spgemm_dense_distributed(a, b, symmetric=symmetric, mesh=mesh)
+    cd = pad_to_multiple(cd, 0, n)
+
+    def local_extract(c_loc):
+        csr = dense_to_csr(c_loc, cap_l)
+        return (
+            csr.indptr[None, :],
+            csr.indices[None, :],
+            csr.values[None, :],
+        )
+
+    fn = shard_map(
+        local_extract,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None)),
+    )
+    ip, ix, vals = fn(cd)
+    return ShardedCSR(indptrs=ip, indices=ix, values=vals, shape=(m, ncols))
 
 
 def triple_product_distributed(

@@ -82,3 +82,24 @@ def test_output_sharding_is_row_partitioned(mesh):
     n = mesh.devices.size
     assert len(out.addressable_shards) == n
     assert all(s[0] * n == out.shape[0] for s in shard_shapes)
+
+
+@pytest.mark.parametrize(
+    "m,k,c,density,symmetric",
+    [(40, 30, 50, 0.3, False), (64, 64, 64, 0.1, True), (17, 23, 11, 0.5, False)],
+)
+def test_distributed_csr_output(mesh, m, k, c, density, symmetric):
+    """Row-sharded packed-CSR product stitches back to the scipy oracle."""
+    from sparse_matrix_mult_tpu.parallel.distributed import spgemm_csr_distributed
+
+    A = sp.random(m, k, density=density, format="csr", random_state=9)
+    B = sp.random(k, c, density=density, format="csr", random_state=10)
+    out = spgemm_csr_distributed(
+        smm.from_scipy(A), smm.from_scipy(B), symmetric=symmetric, mesh=mesh
+    )
+    assert out.n_shards == mesh.devices.size
+    got = out.to_scipy().toarray()
+    ref = (A @ B).toarray()
+    if symmetric:
+        ref = np.triu(ref)
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
