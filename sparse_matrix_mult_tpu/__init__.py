@@ -28,6 +28,21 @@ import jax as _jax
 if not _os.environ.get("SMM_TPU_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: TPU compiles of the larger pipelines take
+# tens of seconds (minutes over a remote-compile link); cache them across
+# processes.  Opt out with SMM_TPU_NO_CACHE=1 or point SMM_TPU_CACHE_DIR
+# elsewhere.  No-op if the user already configured a cache dir.
+if not _os.environ.get("SMM_TPU_NO_CACHE"):
+    if not _jax.config.jax_compilation_cache_dir:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "SMM_TPU_CACHE_DIR",
+                _os.path.join(_os.path.expanduser("~"), ".cache", "smm_tpu_jax"),
+            ),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from ._version import __version__
 from .api import multiply, sparse_matrix_multiply, triple_product
 from .config import Config, Precision, get_config, set_config

@@ -28,9 +28,10 @@ import numpy as np
 import scipy.sparse as sp
 from scipy.sparse import csr_matrix, isspmatrix_csr
 
-from .config import get_config
+from .config import Precision, get_config
 from .ops.convert import dense_to_csr
 from .ops.dense_path import dense_path_fits, spgemm_dense_out
+from .ops.matmul import resolve_precision
 from .ops.spgemm_jnp import expansion_size, spgemm_esc
 from .ops.triple_product import triple_product_dense
 from .types import CSRMatrix, bucket_capacity, from_scipy, to_scipy
@@ -50,6 +51,24 @@ def _coerce_csr(m):
     return m
 
 
+def _upload_dtype(a_sp, b_sp):
+    """Device dtype for the resolved precision policy.
+
+    Under the FAST policy all arithmetic is f32 on the MXU anyway, so
+    uploading f64 operands only doubles transfer and -- worse -- forces the
+    result back to f64, gating out the f32-only Pallas conversion kernels.
+    Results are upcast to float64 at the host boundary (bit-identical to
+    casting on device).  Returns (dtype, resolved_precision).
+    """
+    if jax.default_backend() != "tpu":
+        return None, None  # CPU computes native f64; keep exact parity
+    terms = a_sp.nnz / max(a_sp.shape[0], 1)
+    prec = resolve_precision(None, terms)
+    if prec == Precision.FAST:
+        return jnp.float32, prec
+    return None, prec
+
+
 @functools.partial(jax.jit, static_argnames=("symmetric",))
 def _dense_product(a: CSRMatrix, b: CSRMatrix, symmetric: bool):
     c = spgemm_dense_out(a, b, symmetric=symmetric)
@@ -67,15 +86,19 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
     n = b_sp.shape[1]
 
     if dense_path_fits((m, k), (k, n), (m, n)):
-        # MXU dense path + shift-network extraction: fastest at the densities
+        # MXU dense path + on-device extraction: fastest at the densities
         # the reference targets (see SURVEY.md section 6).  The dense product
         # stays on device between the count and the extraction.
-        a = from_scipy(a_sp)
-        b = from_scipy(b_sp)
+        dtype, _ = _upload_dtype(a_sp, b_sp)
+        a = from_scipy(a_sp, dtype=dtype)
+        b = from_scipy(b_sp, dtype=dtype)
         c, nnz_dev = _dense_product(a, b, symmetric)
         nnz = int(nnz_dev)
         csr = _extract_csr(c, bucket_capacity(nnz))
-        return to_scipy(csr)
+        out = to_scipy(csr)
+        if out.dtype != np.float64:
+            out = out.astype(np.float64)
+        return out
 
     expand = expansion_size(a_sp.indices, a_sp.nnz, b_sp.indptr)
     if expand <= _EXPAND_LIMIT and m * n < 2**31:
@@ -181,15 +204,21 @@ def sparse_matrix_multiply(
                 "Triple product requires B.cols == A.cols so that (A.B).A^T "
                 "is well defined."
             )
-        h = from_scipy(matrix_a)
-        q = from_scipy(matrix_b)
-        result = np.asarray(triple_product_dense(h, q, compute_full_matrix))
+        dtype, _ = _upload_dtype(matrix_a, matrix_b)
+        h = from_scipy(matrix_a, dtype=dtype)
+        q = from_scipy(matrix_b, dtype=dtype)
+        result = np.asarray(
+            triple_product_dense(h, q, compute_full_matrix), dtype=np.float64
+        )
     elif output_format == "sparse":
         result = _sparse_out_host(matrix_a, matrix_b, symmetric)
     elif output_format == "dense":
-        a = from_scipy(matrix_a)
-        b = from_scipy(matrix_b)
-        result = np.asarray(spgemm_dense_out(a, b, symmetric=symmetric))
+        dtype, _ = _upload_dtype(matrix_a, matrix_b)
+        a = from_scipy(matrix_a, dtype=dtype)
+        b = from_scipy(matrix_b, dtype=dtype)
+        result = np.asarray(
+            spgemm_dense_out(a, b, symmetric=symmetric), dtype=np.float64
+        )
     else:
         raise ValueError("Invalid output_format. Choose 'sparse' or 'dense'.")
 

@@ -180,21 +180,22 @@ class ShardedCSR:
 
         m, ncols = self.shape
         rows_per = self.indptrs.shape[1] - 1
+        # One bulk transfer per array; all trimming on host (device-side
+        # data-dependent slices would recompile per distinct nnz).
+        indptrs = np.asarray(self.indptrs)
+        indices = np.asarray(self.indices)
+        values = np.asarray(self.values)
         chunks = []
         row0 = 0
         for s in range(self.n_shards):
             if row0 >= m:
                 break
             rows_here = min(rows_per, m - row0)
-            ip = np.asarray(self.indptrs[s])[: rows_here + 1]
+            ip = indptrs[s][: rows_here + 1]
             nnz = int(ip[-1])
             chunks.append(
                 sp.csr_matrix(
-                    (
-                        np.asarray(self.values[s][:nnz]),
-                        np.asarray(self.indices[s][:nnz]),
-                        ip,
-                    ),
+                    (values[s][:nnz], indices[s][:nnz], ip),
                     shape=(rows_here, ncols),
                 )
             )

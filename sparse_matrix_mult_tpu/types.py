@@ -196,13 +196,20 @@ def from_scipy(mat, dtype=None, capacity: int | None = None) -> CSRMatrix:
 
 
 def to_scipy(mat: CSRMatrix):
-    """Download a device CSRMatrix to an exact (trimmed) scipy csr_matrix."""
+    """Download a device CSRMatrix to an exact (trimmed) scipy csr_matrix.
+
+    Fetches the full padded buffers and trims on host: slicing the *device*
+    array by the data-dependent ``nnz`` would compile a fresh
+    shape-specialized executable per distinct nnz (minutes over a remote
+    compile link), while the padded transfer is at most 2x the payload
+    (capacities are bucketed).
+    """
     import scipy.sparse as _sp
 
     indptr = np.asarray(mat.indptr)
     nnz = int(indptr[-1])
-    indices = np.asarray(mat.indices[:nnz])
-    values = np.asarray(mat.values[:nnz])
+    indices = np.asarray(mat.indices)[:nnz]
+    values = np.asarray(mat.values)[:nnz]
     out = _sp.csr_matrix((values, indices, indptr), shape=mat.shape)
     return out
 
