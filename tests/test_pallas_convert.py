@@ -3,7 +3,14 @@
 On CPU the kernels execute in the Pallas interpreter, exercising the exact
 program the TPU compiles (the XLA shift networks remain the production CPU
 path; ``force_pallas_convert`` routes through the kernels here).
+
+Covers all three entry points: the production dispatcher (staged path with
+size-tuned tiling), the staged two-level variant directly (Pallas networks +
+XLA scan stitch), and the experimental fused single-kernel conversions
+(in-kernel block-aligned stitch via scalar-prefetched index maps).
 """
+
+import functools
 
 import numpy as np
 import pytest
@@ -13,8 +20,12 @@ import jax.numpy as jnp
 
 from sparse_matrix_mult_tpu import from_scipy, set_config
 from sparse_matrix_mult_tpu.ops.pallas.convert_kernels import (
+    csr_to_dense_fused,
     csr_to_dense_pallas,
+    csr_to_dense_staged,
+    dense_to_csr_fused,
     dense_to_csr_pallas,
+    dense_to_csr_staged,
 )
 
 
@@ -30,13 +41,31 @@ CASES = [
 ]
 
 
+def _extract_impls(lane, gs):
+    return {
+        "dispatch": functools.partial(dense_to_csr_pallas, lane=lane),
+        "fused": functools.partial(dense_to_csr_fused, lane=lane),
+        "staged": functools.partial(dense_to_csr_staged, lane=lane, scan_group=gs),
+    }
+
+
+def _densify_impls(lane, gs):
+    return {
+        "dispatch": functools.partial(csr_to_dense_pallas, lane=lane),
+        "fused": functools.partial(csr_to_dense_fused, lane=lane),
+        "staged": functools.partial(csr_to_dense_staged, lane=lane, scan_group=gs),
+    }
+
+
+@pytest.mark.parametrize("impl", ["dispatch", "fused", "staged"])
 @pytest.mark.parametrize("m,n,d,lane,gs", CASES)
-def test_dense_to_csr_pallas_matches_scipy(m, n, d, lane, gs):
+def test_dense_to_csr_pallas_matches_scipy(m, n, d, lane, gs, impl):
     a = sp.random(m, n, density=d, format="csr", random_state=1)
     dense = np.asarray(a.todense(), np.float32)
     cap = max(128, 1 << (max(a.nnz, 1) - 1).bit_length())
 
-    ip, ci, v = dense_to_csr_pallas(jnp.asarray(dense), cap, lane=lane, scan_group=gs)
+    fn = _extract_impls(lane, gs)[impl]
+    ip, ci, v = fn(jnp.asarray(dense), cap)
     ip, ci, v = np.asarray(ip), np.asarray(ci), np.asarray(v)
 
     ref = sp.csr_matrix(dense)
@@ -51,16 +80,29 @@ def test_dense_to_csr_pallas_matches_scipy(m, n, d, lane, gs):
     assert np.all(ci[nnz:] == 0)
 
 
+@pytest.mark.parametrize("impl", ["dispatch", "fused", "staged"])
 @pytest.mark.parametrize("m,n,d,lane,gs", CASES)
-def test_csr_to_dense_pallas_roundtrip(m, n, d, lane, gs):
+def test_csr_to_dense_pallas_roundtrip(m, n, d, lane, gs, impl):
     a = sp.random(m, n, density=d, format="csr", random_state=2)
     dense = np.asarray(a.todense(), np.float32)
     dev = from_scipy(a, dtype=jnp.float32)
 
-    back = csr_to_dense_pallas(
-        dev.indptr, dev.indices, dev.values, (m, n), lane=lane, scan_group=gs
-    )
+    fn = _densify_impls(lane, gs)[impl]
+    back = fn(dev.indptr, dev.indices, dev.values, (m, n))
     assert np.allclose(np.asarray(back), dense)
+
+
+@pytest.mark.parametrize("impl", ["dispatch", "fused", "staged"])
+def test_cross_impl_agreement(impl):
+    """Fused and staged implementations produce identical packed output."""
+    a = sp.random(41, 700, density=0.13, format="csr", random_state=9)
+    dense = np.asarray(a.todense(), np.float32)
+    cap = 1 << 12
+    fn = _extract_impls(256, 4)[impl]
+    ip, ci, v = fn(jnp.asarray(dense), cap)
+    ref = sp.csr_matrix(dense)
+    assert np.array_equal(np.asarray(ip), ref.indptr)
+    assert np.allclose(np.asarray(v)[: ref.nnz], ref.data)
 
 
 def test_convert_dispatch_uses_pallas_when_forced():
