@@ -41,8 +41,10 @@ __all__ = ["sparse_matrix_multiply", "multiply", "triple_product"]
 
 
 # Expansion-sort is used when the dense panels would not fit on device but
-# the number of partial products is small (hypersparse operands).
-_EXPAND_LIMIT = 1 << 26
+# the number of partial products is small (hypersparse operands).  Measured
+# on v5e: ESC is sort-dominated (~25 ms at 1e5 partial products, ~10 s at
+# 2e7), so the cutover to the out-of-core dense-chunk path sits low.
+_EXPAND_LIMIT = 1 << 22
 
 
 def _coerce_csr(m):

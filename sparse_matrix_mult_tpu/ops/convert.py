@@ -33,16 +33,20 @@ from .shift_network import (
 
 __all__ = ["csr_to_dense", "dense_to_csr", "csr_row_ids"]
 
-# Below this many dense elements the one-op XLA scatter/nonzero lowering is
-# already fast and compiles much quicker than a log2(L)-pass network.
+# Below this many dense elements the one-op XLA scatter/nonzero lowering
+# compiles much quicker than a log2(L)-pass network; used on NON-TPU
+# backends only.  On TPU the scatter/nonzero lowerings are near-serial at
+# ANY size (measured on v5e, net of link RTT: nonzero on a 500x500 dense is
+# 21 ms, on 2000x2000 275 ms, vs ~0-3 ms for the Pallas path), so TPU
+# always routes through the kernels.
 _SMALL = 1 << 18
 
 
 def _pallas_convert_ok(total: int, dtype) -> bool:
     """Whether the Pallas conversion kernels apply (see ops.pallas).
 
-    They win above ~1e6 elements on TPU; on other backends they execute in
-    the Pallas interpreter (correct but slow), so XLA networks stay default.
+    On TPU they win at every size; on other backends they execute in the
+    Pallas interpreter (correct but slow), so XLA networks stay default.
     """
     import jax as _jax
 
@@ -52,7 +56,6 @@ def _pallas_convert_ok(total: int, dtype) -> bool:
     return (
         cfg.use_pallas_convert
         and _jax.default_backend() == "tpu"
-        and total > _SMALL
         and total < 2**31
         and jnp.dtype(dtype).itemsize <= 4
     )
@@ -90,15 +93,15 @@ def csr_to_dense(a: CSRMatrix, dtype=None, ncols_pad: int | None = None) -> jax.
     dtype = dtype or a.values.dtype
     ncols_pad = ncols_pad or cols
 
-    if rows * cols <= _SMALL:
-        return a.todense(dtype)
-
     if ncols_pad == cols and _pallas_convert_ok(rows * cols, dtype):
         from .pallas.convert_kernels import csr_to_dense_pallas
 
         return csr_to_dense_pallas(
             a.indptr, a.indices, a.values.astype(dtype), (rows, cols)
         )
+
+    if rows * cols <= _SMALL:
+        return a.todense(dtype)
 
     rid = csr_row_ids(a)
     dest = rid * ncols_pad + a.indices  # strictly increasing over live slots
@@ -125,14 +128,6 @@ def dense_to_csr(
     """
     rows, cols = c.shape
     if keep is None:
-        if rows * cols <= _SMALL:
-            # Small path: nonzero-with-static-size compiles much faster and
-            # is equivalent when the mask is the plain nonzero structure.
-            from ..types import from_dense
-
-            if dtype is not None:
-                c = c.astype(dtype)
-            return from_dense(c, capacity)
         if dtype is not None:
             c = c.astype(dtype)
             dtype = None
@@ -143,6 +138,12 @@ def dense_to_csr(
             return CSRMatrix(
                 indptr=indptr, indices=indices, values=values, shape=(rows, cols)
             )
+        if rows * cols <= _SMALL:
+            # Small path (non-TPU): nonzero-with-static-size compiles much
+            # faster and is equivalent when the mask is plain nonzero.
+            from ..types import from_dense
+
+            return from_dense(c, capacity)
         keep = c != 0
     counts = jnp.sum(keep, axis=1, dtype=INDEX_DTYPE)
     indptr = jnp.concatenate(

@@ -645,6 +645,7 @@ def csr_to_dense_fused(indptr, indices, values, shape, lane: int = LANE):
 # ---------------------------------------------------------------------------
 
 _WIDE_LANE_TOTAL = 1 << 24  # use 16384-lane rows at or above this many elems
+_NARROW_LANE_TOTAL = 1 << 21  # below this, 2048-lane rows avoid pad blowup
 
 
 def _pick_tiling(total: int, lane: int | None):
@@ -652,6 +653,8 @@ def _pick_tiling(total: int, lane: int | None):
         return int(lane), _BLOCK_ROWS
     if total >= _WIDE_LANE_TOTAL:
         return 16384, 8
+    if total < _NARROW_LANE_TOTAL:
+        return 2048, _BLOCK_ROWS
     return LANE, _BLOCK_ROWS
 
 
