@@ -64,7 +64,10 @@ def _upload_dtype(a_sp, b_sp):
     """
     if jax.default_backend() != "tpu":
         return None, None  # CPU computes native f64; keep exact parity
-    terms = a_sp.nnz / max(a_sp.shape[0], 1)
+    m, k = a_sp.shape
+    n = b_sp.shape[1]
+    # Expected accumulation terms per output element (exact nnz on host).
+    terms = (a_sp.nnz * b_sp.nnz) / max(m * k * n, 1)
     prec = resolve_precision(None, terms)
     if prec == Precision.FAST:
         return jnp.float32, prec

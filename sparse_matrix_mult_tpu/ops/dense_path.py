@@ -74,10 +74,17 @@ def product_dense(a: CSRMatrix, b: CSRMatrix, precision: str) -> jax.Array:
 
 
 def _expected_terms(a: CSRMatrix, b: CSRMatrix) -> float:
-    # density(A)*K == expected number of accumulation terms per output element.
-    rows, k = a.shape
-    cap = a.capacity  # static upper bound on nnz; good enough for AUTO policy
-    return cap / max(rows, 1)
+    """Expected accumulation terms per output element (drives AUTO policy).
+
+    For C[i,j] the expected number of nonzero products summed is
+    ``K * density(A) * density(B) = nnz(A)*nnz(B) / (m*K*n)``.  Capacities
+    (static, within 2x of nnz) stand in for nnz so the estimate stays usable
+    under jit; a 2x overestimate only makes AUTO upgrade to SPLIT earlier,
+    which is the safe direction.
+    """
+    m, k = a.shape
+    _, n = b.shape
+    return (a.capacity * b.capacity) / max(m * k * n, 1)
 
 
 def _triu_kernel_ok(m: int, n: int, prec: str) -> bool:

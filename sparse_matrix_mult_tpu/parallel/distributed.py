@@ -79,9 +79,11 @@ def _ring_matmul_local(a_loc: jax.Array, b_loc: jax.Array, axis: str, n: int):
         return (b_next, acc)
 
     acc0 = jnp.zeros((rows_loc, b_loc.shape[1]), dtype=jnp.result_type(a_loc, b_loc))
-    if hasattr(lax, "pvary"):
+    if hasattr(lax, "pcast"):
         # Mark the all-zeros init as device-varying so the scan carry types
         # match (the accumulated value differs per shard).
+        acc0 = lax.pcast(acc0, (axis,), to="varying")
+    elif hasattr(lax, "pvary"):
         acc0 = lax.pvary(acc0, (axis,))
     _, out = lax.fori_loop(0, n, body, (b_loc, acc0))
     return out
