@@ -40,13 +40,6 @@ from .utils.native import csr_triu, stitch_csr
 __all__ = ["sparse_matrix_multiply", "multiply", "triple_product"]
 
 
-# Expansion-sort is used when the dense panels would not fit on device but
-# the number of partial products is small (hypersparse operands).  Measured
-# on v5e: ESC is sort-dominated (~25 ms at 1e5 partial products, ~10 s at
-# 2e7), so the cutover to the out-of-core dense-chunk path sits low.
-_EXPAND_LIMIT = 1 << 22
-
-
 def _coerce_csr(m):
     if not isspmatrix_csr(m):
         m = csr_matrix(m)
@@ -85,28 +78,136 @@ def _extract_csr(c, out_capacity: int):
     return dense_to_csr(c, out_capacity)
 
 
+def _dense_to_scipy_csr(a_sp, b_sp, symmetric: bool):
+    """Single-shot dense path: MXU product + on-device extraction."""
+    dtype, _ = _upload_dtype(a_sp, b_sp)
+    a = from_scipy(a_sp, dtype=dtype)
+    b = from_scipy(b_sp, dtype=dtype)
+    c, nnz_dev = _dense_product(a, b, symmetric)
+    nnz = int(nnz_dev)
+    csr = _extract_csr(c, bucket_capacity(nnz))
+    out = to_scipy(csr)
+    if out.dtype != np.float64:
+        out = out.astype(np.float64)
+    return out
+
+
+def _chunk_rows_padded(a_sp, start: int, stop: int, rows_pad: int, dtype=None):
+    """Rows [start, stop) of a scipy CSR as a device CSRMatrix with
+    ``rows_pad`` rows (trailing rows empty) -- row counts are bucketed so
+    chunks of similar size share one compiled executable."""
+    sub = a_sp[start:stop]
+    indptr = np.zeros(rows_pad + 1, dtype=np.int32)
+    indptr[: stop - start + 1] = sub.indptr
+    indptr[stop - start + 1 :] = sub.indptr[-1]
+    padded = sp.csr_matrix(
+        (sub.data, sub.indices, indptr), shape=(rows_pad, a_sp.shape[1])
+    )
+    return from_scipy(padded, dtype=dtype)
+
+
+def _flop_chunk_bounds(flops: np.ndarray, expand_limit: int, max_rows: int):
+    """Contiguous row-chunk boundaries with ~``expand_limit`` partial
+    products per chunk and at most ``max_rows`` rows per chunk.
+
+    The flop-balanced replacement for the reference's equal-count ``limits``
+    partitioning (``/root/reference/src/workdivision.cpp:45-86``) + its
+    ``schedule(dynamic)`` runtime rebalancing.  A single row heavier than
+    ``expand_limit`` becomes its own chunk (capacity is sized to the actual
+    flops downstream), so the walk always advances: termination is by
+    construction, not by luck.
+    """
+    m = len(flops)
+    csum = np.concatenate([[0.0], np.cumsum(flops, dtype=np.float64)])
+    bounds = [0]
+    while bounds[-1] < m:
+        start = bounds[-1]
+        stop = int(np.searchsorted(csum, csum[start] + expand_limit, "right")) - 1
+        stop = min(max(stop, start + 1), start + max_rows, m)
+        bounds.append(stop)
+    return bounds
+
+
+def _sparse_out_chunked_esc(a_sp, b_sp, symmetric: bool):
+    """Flop-balanced row-chunked ESC: the large-sparse driver.
+
+    Handles any size/density whose *operands and output chunks* fit device
+    memory -- the regime the reference's grow-on-demand Gustavson core covers
+    within host RAM (``/root/reference/src/sparsework.cpp:12-149``).  Unlike
+    the dense path it never materializes a (k, n) panel, so B wider than
+    ``dense_path_limit`` is fine.
+    """
+    from .parallel.partition import row_flops
+
+    m, k = a_sp.shape
+    n = b_sp.shape[1]
+    cfg = get_config()
+    flops = row_flops(a_sp.indptr, a_sp.indices, b_sp.indptr)
+    # int32 ESC keys need rows_pad * n < 2**31; rows_pad is the power-of-two
+    # bucket of the chunk row count.
+    max_rows_pad = 1 << max(int((2**31 - 1) // max(n, 1)).bit_length() - 1, 0)
+    max_rows = max(min(max_rows_pad, m), 1)
+    bounds = _flop_chunk_bounds(flops, cfg.esc_expand_limit, max_rows)
+
+    b = from_scipy(b_sp)
+    csum = np.concatenate([[0], np.cumsum(flops, dtype=np.int64)])
+    parts = []
+    for start, stop in zip(bounds[:-1], bounds[1:]):
+        rows_c = stop - start
+        rows_pad = min(bucket_capacity(rows_c, minimum=1), max_rows_pad)
+        expand = int(csum[stop] - csum[start])
+        a_chunk = _chunk_rows_padded(a_sp, start, stop, rows_pad)
+        out_cap = bucket_capacity(max(min(expand, rows_pad * n), 1))
+        c = spgemm_esc(
+            a_chunk,
+            b,
+            expand_capacity=bucket_capacity(max(expand, 1)),
+            out_capacity=out_cap,
+            symmetric=symmetric,
+            row_offset=jnp.int32(start),
+        )
+        parts.append(to_scipy(c)[:rows_c])
+    return stitch_csr(parts, m, n)
+
+
+def _sparse_out_chunked_dense(a_sp, b_sp, symmetric: bool):
+    """Row-chunked dense path: B's (k, n) panel fits on device but A (or the
+    output) does not.  Chunk rows equally -- dense MXU cost per chunk is
+    rows*k*n regardless of sparsity, so equal rows IS the flop balance here.
+    Each chunk runs the single-shot dense pipeline directly (never recurses).
+    """
+    m, k = a_sp.shape
+    n = b_sp.shape[1]
+    limit = get_config().dense_path_limit
+    chunk = max(1, min(m, limit // max(n, 1)))
+    parts = []
+    for start in range(0, m, chunk):
+        stop = min(start + chunk, m)
+        parts.append(_dense_to_scipy_csr(a_sp[start:stop], b_sp, False))
+    out = stitch_csr(parts, m, n)
+    if symmetric:
+        out = csr_triu(out)
+    return out
+
+
 def _sparse_out_host(a_sp, b_sp, symmetric: bool):
-    """sparse x sparse -> scipy CSR, choosing the device strategy by size."""
+    """sparse x sparse -> scipy CSR, choosing the device strategy by size.
+
+    Strategy ladder (first match wins):
+
+    1. everything fits densely        -> single MXU product + extraction
+    2. few partial products           -> single ESC dispatch
+    3. B panel fits densely           -> equal-row dense chunks
+    4. otherwise                      -> flop-balanced ESC chunks
+    """
     m, k = a_sp.shape
     n = b_sp.shape[1]
 
     if dense_path_fits((m, k), (k, n), (m, n)):
-        # MXU dense path + on-device extraction: fastest at the densities
-        # the reference targets (see SURVEY.md section 6).  The dense product
-        # stays on device between the count and the extraction.
-        dtype, _ = _upload_dtype(a_sp, b_sp)
-        a = from_scipy(a_sp, dtype=dtype)
-        b = from_scipy(b_sp, dtype=dtype)
-        c, nnz_dev = _dense_product(a, b, symmetric)
-        nnz = int(nnz_dev)
-        csr = _extract_csr(c, bucket_capacity(nnz))
-        out = to_scipy(csr)
-        if out.dtype != np.float64:
-            out = out.astype(np.float64)
-        return out
+        return _dense_to_scipy_csr(a_sp, b_sp, symmetric)
 
     expand = expansion_size(a_sp.indices, a_sp.nnz, b_sp.indptr)
-    if expand <= _EXPAND_LIMIT and m * n < 2**31:
+    if expand <= get_config().esc_expand_limit and m * n < 2**31:
         # Expansion-sort: exact structure (keeps Gustavson's structural
         # zeros), capacities exact-then-bucketed.
         a = from_scipy(a_sp)
@@ -121,21 +222,10 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
         )
         return to_scipy(c)
 
-    # Out-of-core fallback: process A in row chunks so each chunk's dense
-    # panel fits on device; assemble the scipy result on host.  This is the
-    # TPU analogue of the reference's row-partitioned workers
-    # (workdivision.cpp:16-89) with the host as the stitcher.
-    limit = get_config().dense_path_limit
-    chunk = max(1, min(m, limit // max(n, 1)))
-    parts = []
-    for start in range(0, m, chunk):
-        stop = min(start + chunk, m)
-        sub = a_sp[start:stop]
-        parts.append(_sparse_out_host(sub, b_sp, False))
-    out = stitch_csr(parts, m, n)
-    if symmetric:
-        out = csr_triu(out)
-    return out
+    if dense_path_fits((k, n)):
+        return _sparse_out_chunked_dense(a_sp, b_sp, symmetric)
+
+    return _sparse_out_chunked_esc(a_sp, b_sp, symmetric)
 
 
 def _zero_notice(result):

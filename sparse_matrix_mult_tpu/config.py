@@ -48,6 +48,11 @@ class Config:
     # Dense fast path is used when rows*cols of every involved matrix is at
     # most this many elements (f32 bytes = 4x this).  1 GiB of f32 by default.
     dense_path_limit: int = 1 << 28
+    # Target partial products per ESC dispatch.  The chunked large-sparse
+    # path sizes its flop-balanced row chunks against this; a single row
+    # whose flop count exceeds it still runs in ONE dispatch with a larger
+    # (actual-size) capacity, so termination never depends on this value.
+    esc_expand_limit: int = 1 << 22
     # Pallas BSR kernel block edge (MXU native tile).
     block_size: int = 128
     # Use the Pallas conversion kernels (ops.pallas.convert_kernels) for

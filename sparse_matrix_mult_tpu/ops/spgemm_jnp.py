@@ -57,12 +57,16 @@ def spgemm_esc(
     expand_capacity: int,
     out_capacity: int,
     symmetric: bool = False,
+    row_offset=0,
 ) -> CSRMatrix:
     """Compute ``C = A @ B`` in padded CSR via expand-sort-compress.
 
     With ``symmetric=True`` only upper-triangle entries (k >= i) are emitted,
     mirroring ``sparsework_sym``'s filter
-    (``/root/reference/src/sparsework.cpp:217``).
+    (``/root/reference/src/sparsework.cpp:217``).  ``row_offset`` (traced
+    scalar) is the global row index of ``a``'s first row, so the symmetric
+    filter stays globally correct when the caller processes A in row chunks
+    (the chunked large-sparse path in :mod:`sparse_matrix_mult_tpu.api`).
     """
     rows, _ = a.shape
     _, cols = b.shape
@@ -102,7 +106,7 @@ def spgemm_esc(
 
     valid = e < total
     if symmetric:
-        valid = valid & (k >= i)
+        valid = valid & (k >= i + jnp.asarray(row_offset, INDEX_DTYPE))
     key = jnp.where(
         valid,
         i.astype(key_dtype) * cols + k.astype(key_dtype),

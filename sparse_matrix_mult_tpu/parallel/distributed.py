@@ -1,24 +1,31 @@
-"""Multi-chip SpGEMM: row-sharded A, ring-rotated B blocks over ICI.
+"""Multi-chip SpGEMM: row-sharded CSR operands, ring-rotated B blocks over ICI.
 
 The reference's only parallelism is OpenMP threads over contiguous row ranges
-in one address space (``/root/reference/src/workdivision.cpp:16-89``,
-``sparse_sparse_sparse.cpp:90-110``).  The TPU-native scale-out dimension is a
-1D device mesh:
+in one address space, with B held once in shared memory and read by every
+thread (``/root/reference/src/workdivision.cpp:16-89``,
+``sparse_sparse_sparse.cpp:228-241``).  The TPU-native scale-out dimension is
+a 1D device mesh:
 
-* **A and C are row-sharded** -- each chip owns ``m / n`` output rows, the
-  direct analogue of the reference's per-thread row ranges.
+* **A and C are row-sharded** (:class:`ShardedCSR`) -- each chip owns a
+  contiguous block of output rows, the direct analogue of the reference's
+  per-thread row ranges.  Shard boundaries may be flop-balanced
+  (:func:`flop_shard_bounds`), the distributed counterpart of the
+  reference's ``schedule(dynamic)`` rebalancing.
 * **B is row-sharded along the contraction dimension** and *ring-rotated*:
-  at step ``s`` chip ``d`` holds B row-block ``(d + s) mod n``, contracts it
-  against the matching column-block of its local A rows, accumulates into its
-  local C block, and forwards the B block to its left neighbour via
-  ``lax.ppermute``.  After ``n`` steps every chip has seen every B block while
-  only ever storing ``1/n`` of B -- the transfer rides the ICI ring and
-  overlaps with the MXU contraction (XLA pipelines the ppermute with the
-  dot).  This is the structural replacement for the reference's "every thread
-  reads all of B from shared memory".
+  at step ``s`` chip ``d`` holds B row-block ``(d + s) mod S``, contracts it
+  against the matching column slice of its local A rows, accumulates into
+  its local C rows, and forwards the block to its neighbour via
+  ``lax.ppermute``.  After ``S`` steps every chip has seen every B block
+  while only ever storing ``1/S`` of B; XLA overlaps the permute with the
+  MXU contraction.
+* **Densification happens per shard, inside ``shard_map``** -- no chip ever
+  materializes a full dense A or B, so problems larger than one chip's HBM
+  scale with the mesh.  (Round 1 densified globally before sharding; fixed
+  per the round-1 review.)
 
-All entry points accept :class:`CSRMatrix` operands and densify *per shard*,
-so no chip ever materializes a full dense B.
+Ingestion: :func:`shard_csr` splits a host CSR matrix into per-device row
+blocks and places them with ``jax.make_array_from_callback`` (multi-host
+compatible: each process materializes only its addressable shards).
 """
 
 from __future__ import annotations
@@ -31,21 +38,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.convert import dense_to_csr
-from ..types import CSRMatrix
+from ..ops.convert import csr_to_dense, dense_to_csr
+from ..types import CSRMatrix, INDEX_DTYPE, bucket_capacity
 from .mesh import row_mesh
 
 __all__ = [
+    "ShardedCSR",
+    "shard_csr",
+    "flop_shard_bounds",
     "ring_matmul",
     "spgemm_dense_distributed",
     "spgemm_csr_distributed",
-    "ShardedCSR",
     "triple_product_distributed",
     "pad_to_multiple",
 ]
+
+
+def _device_varying(x, axis):
+    """Mark a replicated-looking value as device-varying inside shard_map."""
+    if hasattr(lax, "pcast"):
+        return lax.pcast(x, (axis,), to="varying")
+    if hasattr(lax, "pvary"):  # older jax
+        return lax.pvary(x, (axis,))
+    return x
 
 
 def pad_to_multiple(x: jax.Array, axis: int, multiple: int) -> jax.Array:
@@ -59,34 +80,470 @@ def pad_to_multiple(x: jax.Array, axis: int, multiple: int) -> jax.Array:
     return jnp.pad(x, widths)
 
 
-def _ring_matmul_local(a_loc: jax.Array, b_loc: jax.Array, axis: str, n: int):
-    """Per-shard body: a_loc (m/n, k) x ring-rotating b_loc (k/n, c)."""
+# ---------------------------------------------------------------------------
+# Row-sharded CSR container (input AND output).
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ShardedCSR:
+    """Row-sharded CSR matrix: per-shard packed CSR blocks on device.
+
+    The multi-chip analogue of the reference orchestrators' per-thread row
+    ranges (``/root/reference/src/sparse_sparse_sparse.cpp:90-128``): shard
+    ``s`` holds global rows ``bounds[s]:bounds[s+1]`` as a local packed CSR
+    (row pointers rebased to 0).  Used both for *operands* (built by
+    :func:`shard_csr`) and for *results* (built on device by
+    :func:`spgemm_csr_distributed`); ``to_scipy`` stitches the shards on
+    host via the native C++ runtime.
+
+    * ``indptrs``  -- (S, rows_pad + 1) int32; rows past a shard's logical
+      row count repeat the last pointer (empty padding rows).
+    * ``indices``/``values`` -- (S, shard_capacity), padded.
+    * ``shape``    -- logical global shape (static).
+    * ``bounds``   -- global row boundaries, length S+1 (static); ``None``
+      means uniform ``ceil(m / S)`` blocks.
+    """
+
+    indptrs: jax.Array
+    indices: jax.Array
+    values: jax.Array
+    shape: tuple
+    bounds: tuple | None = None
+
+    def tree_flatten(self):
+        return (self.indptrs, self.indices, self.values), (self.shape, self.bounds)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, shape=aux[0], bounds=aux[1])
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.indptrs.shape[0])
+
+    @property
+    def rows_pad(self) -> int:
+        return int(self.indptrs.shape[1]) - 1
+
+    @property
+    def shard_capacity(self) -> int:
+        return int(self.indices.shape[1])
+
+    @property
+    def row_bounds(self) -> tuple:
+        if self.bounds is not None:
+            return self.bounds
+        m = self.shape[0]
+        per = self.rows_pad
+        return tuple(min(i * per, m) for i in range(self.n_shards + 1))
+
+    def to_scipy(self):
+        """Gather the shards and stitch into one scipy CSR on host."""
+        import scipy.sparse as sp
+
+        from ..utils.native import stitch_csr
+
+        m, ncols = self.shape
+        bounds = self.row_bounds
+        # One bulk transfer per array; all trimming on host (device-side
+        # data-dependent slices would recompile per distinct nnz).
+        indptrs = np.asarray(self.indptrs)
+        indices = np.asarray(self.indices)
+        values = np.asarray(self.values)
+        chunks = []
+        for s in range(self.n_shards):
+            rows_here = bounds[s + 1] - bounds[s]
+            ip = indptrs[s][: rows_here + 1]
+            nnz = int(ip[-1]) if rows_here else 0
+            chunks.append(
+                sp.csr_matrix(
+                    (values[s][:nnz], indices[s][:nnz], ip),
+                    shape=(rows_here, ncols),
+                )
+            )
+        return stitch_csr(chunks, m, ncols)
+
+
+def _uniform_bounds(m: int, s: int) -> tuple:
+    per = -(-m // s) if m else 1
+    return tuple(min(i * per, m) for i in range(s + 1))
+
+
+def _as_scipy(mat):
+    import scipy.sparse as sp
+
+    if isinstance(mat, ShardedCSR):
+        return mat.to_scipy()
+    if isinstance(mat, CSRMatrix):
+        from ..types import to_scipy as _to
+
+        return _to(mat)
+    if not sp.issparse(mat):
+        return sp.csr_matrix(np.asarray(mat))
+    return mat.tocsr()
+
+
+def shard_csr(
+    mat,
+    mesh: Optional[Mesh] = None,
+    *,
+    bounds=None,
+    dtype=None,
+    capacity: int | None = None,
+) -> ShardedCSR:
+    """Split a host CSR matrix into per-device row blocks and place them.
+
+    Each device receives only its own block's ``indptr/indices/values``
+    (via ``jax.make_array_from_callback``, so multi-host processes
+    materialize just their addressable shards).  ``bounds`` defaults to
+    uniform ``ceil(m/S)`` blocks; pass :func:`flop_shard_bounds` output for
+    flop-balanced blocks on skewed matrices.
+    """
+    mesh = mesh or row_mesh()
+    (axis,) = mesh.axis_names
+    s_count = mesh.devices.size
+    mat = _as_scipy(mat)
+    m, n = (int(x) for x in mat.shape)
+    if bounds is None:
+        bounds = _uniform_bounds(m, s_count)
+    bounds = tuple(int(b) for b in bounds)
+    if len(bounds) != s_count + 1 or bounds[0] != 0 or bounds[-1] != m:
+        raise ValueError(f"bounds {bounds} invalid for {m} rows / {s_count} shards")
+    rows_pad = max(
+        max(b1 - b0 for b0, b1 in zip(bounds[:-1], bounds[1:])), 1
+    )
+    shard_nnz = [
+        int(mat.indptr[b1] - mat.indptr[b0])
+        for b0, b1 in zip(bounds[:-1], bounds[1:])
+    ]
+    cap = int(capacity) if capacity is not None else bucket_capacity(max(shard_nnz + [1]))
+    if cap < max(shard_nnz):
+        raise ValueError(f"capacity {cap} < max shard nnz {max(shard_nnz)}")
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    ip = np.zeros((s_count, rows_pad + 1), np.int32)
+    ix = np.zeros((s_count, cap), np.int32)
+    vv = np.zeros((s_count, cap), np.dtype(dtype))
+    for s in range(s_count):
+        b0, b1 = bounds[s], bounds[s + 1]
+        lo, hi = int(mat.indptr[b0]), int(mat.indptr[b1])
+        ip[s, 1 : b1 - b0 + 1] = mat.indptr[b0 + 1 : b1 + 1] - lo
+        ip[s, b1 - b0 + 1 :] = hi - lo
+        ix[s, : hi - lo] = mat.indices[lo:hi]
+        vv[s, : hi - lo] = mat.data[lo:hi]
+
+    def put(arr):
+        sh = NamedSharding(mesh, P(axis, *([None] * (arr.ndim - 1))))
+        return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
+    return ShardedCSR(put(ip), put(ix), put(vv), (m, n), bounds)
+
+
+def flop_shard_bounds(a_sp, b_sp, n_shards: int) -> tuple:
+    """Flop-balanced shard boundaries for ``A @ B`` (host-side).
+
+    Balances the per-shard count of partial products -- the quantity the
+    reference's ``schedule(dynamic)`` clauses rebalance at runtime
+    (``/root/reference/src/sparse_sparse_sparse.cpp:233``) -- instead of raw
+    row counts (its static ``limits`` partitioner, ``workdivision.cpp:45-86``).
+    """
+    from .partition import flop_balanced_partition, row_flops
+
+    a_sp = _as_scipy(a_sp)
+    b_sp = _as_scipy(b_sp)
+    flops = row_flops(a_sp.indptr, a_sp.indices, b_sp.indptr)
+    return tuple(int(x) for x in flop_balanced_partition(flops, n_shards))
+
+
+# ---------------------------------------------------------------------------
+# Ring SpGEMM over sharded operands.
+# ---------------------------------------------------------------------------
+
+
+def _local_dense(ip, ix, vv, rows: int, cols: int, dtype=None):
+    """Densify one shard's packed CSR block inside a shard_map body."""
+    csr = CSRMatrix(
+        indptr=ip.reshape(-1)[: rows + 1],
+        indices=ix.reshape(-1),
+        values=vv.reshape(-1),
+        shape=(rows, cols),
+    )
+    return csr_to_dense(csr, dtype=dtype)
+
+
+def _ring_accumulate(a_pad, b_loc, axis: str, s_count: int, kb: int, out_dtype):
+    """Core ring: rotate ``b_loc`` (one B row-block) around the mesh while
+    contracting it with the matching A column slice.  ``a_pad`` is the local
+    dense A rows with columns zero-padded to ``s_count * kb``."""
     my = lax.axis_index(axis)
-    rows_loc, k = a_loc.shape
-    blk = k // n
-    perm = [(i, (i - 1) % n) for i in range(n)]
+    rows_loc = a_pad.shape[0]
+    perm = [(i, (i - 1) % s_count) for i in range(s_count)]
 
     def body(s, carry):
         b_cur, acc = carry
-        j = ((my + s) % n).astype(jnp.int32)
+        j = ((my + s) % s_count).astype(jnp.int32)
         zero = jnp.zeros((), jnp.int32)
-        a_blk = lax.dynamic_slice(a_loc, (zero, j * blk), (rows_loc, blk))
+        a_blk = lax.dynamic_slice(a_pad, (zero, j * kb), (rows_loc, kb))
         acc = acc + jnp.dot(
-            a_blk, b_cur, precision="highest",
-            preferred_element_type=acc.dtype,
+            a_blk, b_cur, precision="highest", preferred_element_type=acc.dtype
         )
         b_next = lax.ppermute(b_cur, axis, perm)
         return (b_next, acc)
 
-    acc0 = jnp.zeros((rows_loc, b_loc.shape[1]), dtype=jnp.result_type(a_loc, b_loc))
-    if hasattr(lax, "pcast"):
-        # Mark the all-zeros init as device-varying so the scan carry types
-        # match (the accumulated value differs per shard).
-        acc0 = lax.pcast(acc0, (axis,), to="varying")
-    elif hasattr(lax, "pvary"):
-        acc0 = lax.pvary(acc0, (axis,))
-    _, out = lax.fori_loop(0, n, body, (b_loc, acc0))
+    acc0 = jnp.zeros((rows_loc, b_loc.shape[1]), dtype=out_dtype)
+    acc0 = _device_varying(acc0, axis)
+    (_, out) = lax.fori_loop(0, s_count, body, (b_loc, acc0))
     return out
+
+
+def _check_operands(a: ShardedCSR, b: ShardedCSR):
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"inner dims mismatch: {a.shape} @ {b.shape}")
+    if a.n_shards != b.n_shards:
+        raise ValueError("operands sharded over different mesh sizes")
+    if b.bounds is not None and b.bounds != _uniform_bounds(b.shape[0], b.n_shards):
+        raise ValueError("B must be uniformly row-sharded along the contraction dim")
+
+
+def _shard(mat, mesh, bounds=None) -> ShardedCSR:
+    return mat if isinstance(mat, ShardedCSR) else shard_csr(mat, mesh, bounds=bounds)
+
+
+@functools.lru_cache(maxsize=None)
+def _spgemm_dense_jit(mesh: Mesh, symmetric: bool):
+    (axis,) = mesh.axis_names
+    s_count = mesh.devices.size
+
+    @jax.jit
+    def fn(a: ShardedCSR, b: ShardedCSR):
+        m, k = a.shape
+        n = b.shape[1]
+        kb = b.rows_pad
+        rows_pad = a.rows_pad
+        out_dtype = jnp.result_type(a.values.dtype, b.values.dtype)
+
+        def local(a_ip, a_ix, a_v, b_ip, b_ix, b_v):
+            a_loc = _local_dense(a_ip, a_ix, a_v, rows_pad, k)
+            a_pad = pad_to_multiple(a_loc, 1, s_count * kb) if k < s_count * kb else a_loc
+            b_loc = _local_dense(b_ip, b_ix, b_v, kb, n)
+            return _ring_accumulate(a_pad, b_loc, axis, s_count, kb, out_dtype)
+
+        sm = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None),) * 6,
+            out_specs=P(axis, None),
+        )
+        c = sm(a.indptrs, a.indices, a.values, b.indptrs, b.indices, b.values)
+        c = c[:m]
+        if symmetric:
+            c = jnp.triu(c)
+        return c
+
+    return fn
+
+
+def spgemm_dense_distributed(
+    a,
+    b,
+    symmetric: bool = False,
+    mesh: Optional[Mesh] = None,
+):
+    """sparse x sparse -> dense across the whole mesh (row-sharded output).
+
+    Accepts :class:`ShardedCSR` operands (preferred: already placed), or any
+    host CSR, which is sharded uniformly on ingest.  A must be row-sharded
+    uniformly for this dense-output entry point (the global trim needs
+    contiguous logical rows); use :func:`spgemm_csr_distributed` for
+    flop-balanced bounds.
+    """
+    mesh = mesh or row_mesh()
+    a = _shard(a, mesh)
+    b = _shard(b, mesh)
+    _check_operands(a, b)
+    if a.bounds is not None and a.bounds != _uniform_bounds(a.shape[0], a.n_shards):
+        raise ValueError("dense output requires uniformly row-sharded A")
+    return _spgemm_dense_jit(mesh, symmetric)(a, b)
+
+
+@functools.lru_cache(maxsize=None)
+def _spgemm_csr_jit(mesh: Mesh, symmetric: bool, cap_l: int):
+    (axis,) = mesh.axis_names
+    s_count = mesh.devices.size
+
+    @jax.jit
+    def fn(a: ShardedCSR, b: ShardedCSR):
+        m, k = a.shape
+        n = b.shape[1]
+        kb = b.rows_pad
+        rows_pad = a.rows_pad
+        bounds_arr = jnp.asarray(a.row_bounds, INDEX_DTYPE)
+        out_dtype = jnp.result_type(a.values.dtype, b.values.dtype)
+
+        def local(a_ip, a_ix, a_v, b_ip, b_ix, b_v):
+            a_loc = _local_dense(a_ip, a_ix, a_v, rows_pad, k)
+            a_pad = pad_to_multiple(a_loc, 1, s_count * kb) if k < s_count * kb else a_loc
+            b_loc = _local_dense(b_ip, b_ix, b_v, kb, n)
+            c_loc = _ring_accumulate(a_pad, b_loc, axis, s_count, kb, out_dtype)
+            if symmetric:
+                # Upper triangle in GLOBAL coordinates: local row r is
+                # global row bounds[my] + r.
+                my = lax.axis_index(axis)
+                row0 = bounds_arr[my]
+                gr = row0 + lax.broadcasted_iota(INDEX_DTYPE, c_loc.shape, 0)
+                gc = lax.broadcasted_iota(INDEX_DTYPE, c_loc.shape, 1)
+                c_loc = jnp.where(gc >= gr, c_loc, 0)
+            csr = dense_to_csr(c_loc, cap_l)
+            return csr.indptr[None], csr.indices[None], csr.values[None]
+
+        ip, ix, vv = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None),) * 6,
+            out_specs=(P(axis, None),) * 3,
+        )(a.indptrs, a.indices, a.values, b.indptrs, b.indices, b.values)
+        return ip, ix, vv
+
+    return fn
+
+
+def spgemm_csr_distributed(
+    a,
+    b,
+    shard_capacity: int | None = None,
+    symmetric: bool = False,
+    mesh: Optional[Mesh] = None,
+    balance: str = "rows",
+) -> ShardedCSR:
+    """sparse x sparse -> row-sharded packed CSR across the mesh.
+
+    The per-shard dense C row block never leaves the shard_map body: ring
+    product and packed-CSR extraction are fused, the distributed
+    replacement for the reference's count->allocate->stitch pipeline
+    (``sparse_sparse_sparse.cpp:90-150``).  ``balance='flops'`` shards A by
+    partial-product counts (:func:`flop_shard_bounds`) instead of row
+    counts.  ``shard_capacity`` is the static per-shard entry budget
+    (default: the dense row-block size, always sufficient).
+    """
+    mesh = mesh or row_mesh()
+    if not isinstance(a, ShardedCSR) and balance == "flops":
+        bounds = flop_shard_bounds(a, b, mesh.devices.size)
+        a = shard_csr(a, mesh, bounds=bounds)
+    else:
+        a = _shard(a, mesh)
+    b = _shard(b, mesh)
+    _check_operands(a, b)
+    m = a.shape[0]
+    n = b.shape[1]
+    cap_l = (
+        int(shard_capacity)
+        if shard_capacity is not None
+        else a.rows_pad * n
+    )
+    ip, ix, vv = _spgemm_csr_jit(mesh, symmetric, cap_l)(a, b)
+    return ShardedCSR(ip, ix, vv, (m, n), a.bounds)
+
+
+# ---------------------------------------------------------------------------
+# Fused distributed triple product H . Q . H^T.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _triple_product_jit(mesh: Mesh):
+    (axis,) = mesh.axis_names
+    s_count = mesh.devices.size
+
+    @jax.jit
+    def fn(h: ShardedCSR, q: ShardedCSR):
+        m, k = h.shape
+        kb = q.rows_pad
+        rows_pad = h.rows_pad
+        out_dtype = jnp.result_type(h.values.dtype, q.values.dtype)
+        k_pad = max(s_count * kb, k)
+
+        def local(h_ip, h_ix, h_v, q_ip, q_ix, q_v):
+            h_loc = _local_dense(h_ip, h_ix, h_v, rows_pad, k)
+            h_pad = pad_to_multiple(h_loc, 1, k_pad) if k < k_pad else h_loc
+            q_loc = _local_dense(q_ip, q_ix, q_v, kb, k)
+            # Ring 1: T = H . Q, row-sharded; T never leaves this shard.
+            t_loc = _ring_accumulate(h_pad, q_loc, axis, s_count, kb, out_dtype)
+            t_pad = pad_to_multiple(t_loc, 1, k_pad) if k < k_pad else t_loc
+            # Ring 2: C = T . H^T -- H's own row blocks rotate; each step
+            # fills the column block of C owned by the sending shard.
+            my = lax.axis_index(axis)
+            perm = [(i, (i - 1) % s_count) for i in range(s_count)]
+
+            def body(s, carry):
+                h_cur, acc = carry
+                j = ((my + s) % s_count).astype(jnp.int32)
+                blk = jnp.dot(
+                    t_pad,
+                    h_cur.T,
+                    precision="highest",
+                    preferred_element_type=out_dtype,
+                )
+                acc = lax.dynamic_update_slice(
+                    acc, blk, (jnp.zeros((), jnp.int32), j * rows_pad)
+                )
+                h_next = lax.ppermute(h_cur, axis, perm)
+                return (h_next, acc)
+
+            acc0 = jnp.zeros((rows_pad, s_count * rows_pad), out_dtype)
+            acc0 = _device_varying(acc0, axis)
+            (_, c_loc) = lax.fori_loop(0, s_count, body, (h_pad, acc0))
+            return c_loc
+
+        c = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None),) * 6,
+            out_specs=P(axis, None),
+        )(h.indptrs, h.indices, h.values, q.indptrs, q.indices, q.values)
+        return c[:m, :m]
+
+    return fn
+
+
+def triple_product_distributed(
+    h,
+    q,
+    compute_full_matrix: int = 0,
+    mesh: Optional[Mesh] = None,
+):
+    """Fused distributed ``H . Q . H^T``.
+
+    Both contractions are rings over sharded operands; the intermediate
+    ``T = H.Q`` stays row-sharded on the chips that produced it (never
+    gathered, never sparse-materialized), mirroring the reference's fused
+    contract (``/root/reference/src/sparse_sparse_dense.cpp:141-249``)
+    without its O(threads . n^2) thread-local copies.
+    """
+    mesh = mesh or row_mesh()
+    h = _shard(h, mesh)
+    q = _shard(q, mesh)
+    _check_operands(h, q)
+    if h.bounds is not None and h.bounds != _uniform_bounds(h.shape[0], h.n_shards):
+        raise ValueError("triple product requires uniformly row-sharded H")
+    c = _triple_product_jit(mesh)(h, q)
+    upper = jnp.triu(c)
+    if compute_full_matrix:
+        return upper + jnp.triu(c, 1).T
+    return upper
+
+
+# ---------------------------------------------------------------------------
+# Dense-operand ring matmul (utility; operands already dense on host/device).
+# ---------------------------------------------------------------------------
+
+
+def _ring_matmul_local(a_loc, b_loc, axis: str, n: int):
+    blk = a_loc.shape[1] // n
+    out_dtype = jnp.result_type(a_loc, b_loc)
+    return _ring_accumulate(a_loc, b_loc, axis, n, blk, out_dtype)
 
 
 def ring_matmul(
@@ -117,158 +574,3 @@ def ring_matmul(
     )
     out = fn(ap, bp)
     return out[:m, :c]
-
-
-@functools.lru_cache(maxsize=None)
-def _spgemm_dist_jit(mesh: Mesh, symmetric: bool):
-    @jax.jit
-    def fn(a: CSRMatrix, b: CSRMatrix):
-        cd = ring_matmul(a.todense(), b.todense(), mesh)
-        if symmetric:
-            cd = jnp.triu(cd)
-        return cd
-
-    return fn
-
-
-def spgemm_dense_distributed(
-    a: CSRMatrix,
-    b: CSRMatrix,
-    symmetric: bool = False,
-    mesh: Optional[Mesh] = None,
-) -> jax.Array:
-    """sparse x sparse -> dense across the whole mesh (row-sharded output)."""
-    mesh = mesh or row_mesh()
-    return _spgemm_dist_jit(mesh, symmetric)(a, b)
-
-
-@jax.tree_util.register_pytree_node_class
-@dataclasses.dataclass(frozen=True)
-class ShardedCSR:
-    """Row-sharded packed-CSR product: per-shard CSR chunks on device.
-
-    The multi-chip analogue of the reference orchestrators' per-thread
-    partial matrices *before* the serial stitch
-    (``/root/reference/src/sparse_sparse_sparse.cpp:90-128``): each device
-    holds the packed CSR of its own contiguous row block.  ``to_scipy``
-    performs the stitch on host via the native C++ runtime.
-
-    * ``indptrs``  -- (n_shards, rows_per_shard + 1) int32, local row ptrs.
-    * ``indices``/``values`` -- (n_shards, shard_capacity), padded.
-    * ``shape``    -- logical global shape (static).
-    """
-
-    indptrs: jax.Array
-    indices: jax.Array
-    values: jax.Array
-    shape: tuple
-
-    def tree_flatten(self):
-        return (self.indptrs, self.indices, self.values), (self.shape,)
-
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        return cls(*children, shape=aux[0])
-
-    @property
-    def n_shards(self) -> int:
-        return int(self.indptrs.shape[0])
-
-    def to_scipy(self):
-        """Gather the shards and stitch into one scipy CSR on host."""
-        import scipy.sparse as sp
-
-        from ..utils.native import stitch_csr
-
-        m, ncols = self.shape
-        rows_per = self.indptrs.shape[1] - 1
-        # One bulk transfer per array; all trimming on host (device-side
-        # data-dependent slices would recompile per distinct nnz).
-        indptrs = np.asarray(self.indptrs)
-        indices = np.asarray(self.indices)
-        values = np.asarray(self.values)
-        chunks = []
-        row0 = 0
-        for s in range(self.n_shards):
-            if row0 >= m:
-                break
-            rows_here = min(rows_per, m - row0)
-            ip = indptrs[s][: rows_here + 1]
-            nnz = int(ip[-1])
-            chunks.append(
-                sp.csr_matrix(
-                    (values[s][:nnz], indices[s][:nnz], ip),
-                    shape=(rows_here, ncols),
-                )
-            )
-            row0 += rows_here
-        return stitch_csr(chunks, m, ncols)
-
-
-def spgemm_csr_distributed(
-    a: CSRMatrix,
-    b: CSRMatrix,
-    shard_capacity: int | None = None,
-    symmetric: bool = False,
-    mesh: Optional[Mesh] = None,
-) -> ShardedCSR:
-    """sparse x sparse -> row-sharded packed CSR across the mesh.
-
-    The ring product leaves C row-sharded; each device then extracts its own
-    row block to packed CSR *locally* (no cross-chip traffic), the
-    distributed replacement for the reference's count->allocate->stitch
-    pipeline.  ``shard_capacity`` is the static per-shard entry budget
-    (default: the dense row-block size, always sufficient).
-    """
-    mesh = mesh or row_mesh()
-    (axis,) = mesh.axis_names
-    n = mesh.devices.size
-    m = a.shape[0]
-    ncols = b.shape[1]
-    mp = -(-m // n) * n
-    rows_loc = mp // n
-    cap_l = int(shard_capacity) if shard_capacity is not None else rows_loc * ncols
-
-    cd = spgemm_dense_distributed(a, b, symmetric=symmetric, mesh=mesh)
-    cd = pad_to_multiple(cd, 0, n)
-
-    def local_extract(c_loc):
-        csr = dense_to_csr(c_loc, cap_l)
-        return (
-            csr.indptr[None, :],
-            csr.indices[None, :],
-            csr.values[None, :],
-        )
-
-    fn = shard_map(
-        local_extract,
-        mesh=mesh,
-        in_specs=P(axis, None),
-        out_specs=(P(axis, None), P(axis, None), P(axis, None)),
-    )
-    ip, ix, vals = fn(cd)
-    return ShardedCSR(indptrs=ip, indices=ix, values=vals, shape=(m, ncols))
-
-
-def triple_product_distributed(
-    h: CSRMatrix,
-    q: CSRMatrix,
-    compute_full_matrix: int = 0,
-    mesh: Optional[Mesh] = None,
-) -> jax.Array:
-    """Fused distributed ``H . Q . H^T``.
-
-    Both contractions run as ring matmuls; the intermediate ``T = H.Q`` stays
-    row-sharded on the chips that produced it (never gathered), mirroring the
-    reference's "never materialize H.Q as a sparse matrix" contract
-    (``/root/reference/src/sparse_sparse_dense.cpp:141-249``).
-    """
-    mesh = mesh or row_mesh()
-    hd = h.todense()
-    qd = q.todense()
-    t = ring_matmul(hd, qd, mesh)
-    c = ring_matmul(t, hd.T, mesh)
-    upper = jnp.triu(c)
-    if compute_full_matrix:
-        return upper + jnp.triu(c, 1).T
-    return upper
