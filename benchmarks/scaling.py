@@ -78,8 +78,10 @@ def main():
     import jax.numpy as jnp
     import scipy.sparse as sp
 
-    import sparse_matrix_mult_tpu as smm
-    from sparse_matrix_mult_tpu.parallel.distributed import ring_matmul
+    from sparse_matrix_mult_tpu.parallel.distributed import (
+        _spgemm_dense_jit,
+        shard_csr,
+    )
     from sparse_matrix_mult_tpu.parallel.mesh import row_mesh
 
     devices = jax.devices()
@@ -98,14 +100,14 @@ def main():
         k = args.cols
         a_sp = sp.random(m, k, density=args.density, format="csr", random_state=1)
         b_sp = sp.random(k, k, density=args.density, format="csr", random_state=2)
-        a = smm.from_scipy(a_sp, dtype=jnp.float32)
-        b = smm.from_scipy(b_sp, dtype=jnp.float32)
+        # Sharded ingestion (one block per device); the timed step covers
+        # per-shard densify + the B-block ring + the MXU contractions --
+        # exactly the production distributed pipeline.
+        a = shard_csr(a_sp, mesh, dtype=jnp.float32)
+        b = shard_csr(b_sp, mesh, dtype=jnp.float32)
 
-        fn = jax.jit(
-            lambda a, b, mesh=mesh: jnp.sum(
-                ring_matmul(a.todense(), b.todense(), mesh)
-            )
-        )
+        product = _spgemm_dense_jit(mesh, False)
+        fn = jax.jit(lambda a, b: jnp.sum(product(a, b)))
         float(fn(a, b))  # compile + warm
         times = []
         for _ in range(args.iters):

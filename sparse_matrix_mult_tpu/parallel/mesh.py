@@ -37,20 +37,30 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def init_distributed(coordinator: str | None = None, **kw) -> None:
+def init_distributed(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    **kw,
+) -> None:
     """Initialize the multi-host process group (DCN).
 
-    Thin wrapper over ``jax.distributed.initialize``; call once per host
-    before building meshes on a multi-host pod slice.  No-op when JAX already
-    runs single-process with all devices visible.
+    Wrapper over ``jax.distributed.initialize``; call once per host before
+    building meshes on a multi-host pod slice.  Idempotent: a no-op when the
+    process group is already initialized (checked via the distributed client
+    handle, not ``process_count()``, which is 1 until initialization).
+    Initialization errors propagate -- multi-host failures must be loud
+    (SURVEY.md section 5: no silent fallbacks).
     """
-    if jax.process_count() > 1:
-        return
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized; second initialize would raise
     kwargs = dict(kw)
     if coordinator is not None:
         kwargs["coordinator_address"] = coordinator
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        # Already initialized or single-process run; both are fine.
-        pass
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
