@@ -44,15 +44,18 @@ if not _os.environ.get("SMM_TPU_NO_CACHE"):
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from ._version import __version__
-from .api import multiply, sparse_matrix_multiply, triple_product
+from .api import get_last_route, multiply, sparse_matrix_multiply, triple_product
 from .config import Config, Precision, get_config, set_config
 from .types import CSRMatrix, bucket_capacity, from_dense, from_scipy, to_scipy
+from .ops.pallas.bsr_spgemm import bsr_matmul_dense as bsr_multiply_dense
 from .types_bsr import BSRMatrix, bsr_from_dense, bsr_from_scipy, bsr_to_dense
 
 __all__ = [
     "sparse_matrix_multiply",
     "multiply",
     "triple_product",
+    "get_last_route",
+    "bsr_multiply_dense",
     "CSRMatrix",
     "from_scipy",
     "to_scipy",

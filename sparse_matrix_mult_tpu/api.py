@@ -37,7 +37,22 @@ from .ops.triple_product import triple_product_dense
 from .types import CSRMatrix, bucket_capacity, from_scipy, to_scipy
 from .utils.native import csr_triu, stitch_csr
 
-__all__ = ["sparse_matrix_multiply", "multiply", "triple_product"]
+__all__ = ["sparse_matrix_multiply", "multiply", "triple_product", "get_last_route"]
+
+# Which compute strategy the last sparse_matrix_multiply dispatch used
+# (observability + test assertions): one of "dense", "bsr", "esc",
+# "dense_chunks", "esc_chunks", "triple", "empty".
+_LAST_ROUTE: str | None = None
+
+
+def get_last_route() -> str | None:
+    """Strategy chosen by the most recent :func:`sparse_matrix_multiply`."""
+    return _LAST_ROUTE
+
+
+def _set_route(route: str) -> None:
+    global _LAST_ROUTE
+    _LAST_ROUTE = route
 
 
 def _coerce_csr(m):
@@ -80,16 +95,79 @@ def _extract_csr(c, out_capacity: int):
 
 def _dense_to_scipy_csr(a_sp, b_sp, symmetric: bool):
     """Single-shot dense path: MXU product + on-device extraction."""
-    dtype, _ = _upload_dtype(a_sp, b_sp)
-    a = from_scipy(a_sp, dtype=dtype)
-    b = from_scipy(b_sp, dtype=dtype)
-    c, nnz_dev = _dense_product(a, b, symmetric)
+    if _bsr_route_ok(a_sp):
+        c, nnz_dev = _bsr_product_host(a_sp, b_sp, symmetric)
+        _set_route("bsr")
+    else:
+        dtype, _ = _upload_dtype(a_sp, b_sp)
+        a = from_scipy(a_sp, dtype=dtype)
+        b = from_scipy(b_sp, dtype=dtype)
+        c, nnz_dev = _dense_product(a, b, symmetric)
+        _set_route("dense")
     nnz = int(nnz_dev)
     csr = _extract_csr(c, bucket_capacity(nnz))
     out = to_scipy(csr)
     if out.dtype != np.float64:
         out = out.astype(np.float64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# BSR route: block-structured operands skip zero MXU tiles entirely.
+# ---------------------------------------------------------------------------
+
+
+def block_occupancy(mat, block_size: int) -> float:
+    """Fraction of nonzero (b x b) blocks in a scipy sparse matrix.
+
+    O(nnz) host-side structure scan (no blocks materialized) -- the cheap
+    check that decides BSR routing.
+    """
+    b = int(block_size)
+    m, n = mat.shape
+    nbr, nbc = -(-m // b), -(-n // b)
+    coo = mat.tocoo()
+    if coo.nnz == 0:
+        return 0.0
+    keys = (coo.row // b).astype(np.int64) * nbc + (coo.col // b)
+    return np.unique(keys).size / (nbr * nbc)
+
+
+def _bsr_route_ok(a_sp) -> bool:
+    cfg = get_config()
+    if not cfg.use_bsr:
+        return False
+    if cfg.force_pallas_bsr:
+        return True
+    if jax.default_backend() != "tpu":
+        return False  # interpret-mode kernels are correctness-only
+    b = cfg.block_size
+    m, k = a_sp.shape
+    if m < 2 * b or k < 2 * b:
+        return False  # fewer than 2x2 blocks: nothing to skip
+    return block_occupancy(a_sp, b) <= cfg.bsr_occupancy_cutoff
+
+
+@functools.partial(jax.jit, static_argnames=("symmetric",))
+def _bsr_product_jit(a_bsr, b: CSRMatrix, symmetric: bool):
+    from .ops.convert import csr_to_dense
+    from .ops.pallas.bsr_spgemm import bsr_matmul_dense
+
+    bd = csr_to_dense(b)
+    c = bsr_matmul_dense(a_bsr, bd)
+    if symmetric:
+        c = jnp.triu(c)
+    return c, jnp.sum(c != 0)
+
+
+def _bsr_product_host(a_sp, b_sp, symmetric: bool):
+    from .types_bsr import bsr_from_scipy
+
+    # The BSR kernel is f32-native (MXU tiles); results are upcast to f64 at
+    # the host boundary, identical to the dense path's FAST policy.
+    a_bsr = bsr_from_scipy(a_sp, get_config().block_size, dtype=jnp.float32)
+    b = from_scipy(b_sp, dtype=jnp.float32)
+    return _bsr_product_jit(a_bsr, b, symmetric)
 
 
 def _chunk_rows_padded(a_sp, start: int, stop: int, rows_pad: int, dtype=None):
@@ -220,12 +298,17 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
             out_capacity=out_cap,
             symmetric=symmetric,
         )
+        _set_route("esc")
         return to_scipy(c)
 
     if dense_path_fits((k, n)):
-        return _sparse_out_chunked_dense(a_sp, b_sp, symmetric)
+        out = _sparse_out_chunked_dense(a_sp, b_sp, symmetric)
+        _set_route("dense_chunks")
+        return out
 
-    return _sparse_out_chunked_esc(a_sp, b_sp, symmetric)
+    out = _sparse_out_chunked_esc(a_sp, b_sp, symmetric)
+    _set_route("esc_chunks")
+    return out
 
 
 def _zero_notice(result):
@@ -284,6 +367,7 @@ def sparse_matrix_multiply(
 
     # Empty-operand fast path (matrix_ops.py:315-319).
     if matrix_a.nnz == 0 or matrix_b.nnz == 0:
+        _set_route("empty")
         if use_triple_product:
             return np.zeros((matrix_a.shape[0], matrix_a.shape[0]))
         if output_format == "sparse":
@@ -305,15 +389,22 @@ def sparse_matrix_multiply(
         result = np.asarray(
             triple_product_dense(h, q, compute_full_matrix), dtype=np.float64
         )
+        _set_route("triple")
     elif output_format == "sparse":
         result = _sparse_out_host(matrix_a, matrix_b, symmetric)
     elif output_format == "dense":
-        dtype, _ = _upload_dtype(matrix_a, matrix_b)
-        a = from_scipy(matrix_a, dtype=dtype)
-        b = from_scipy(matrix_b, dtype=dtype)
-        result = np.asarray(
-            spgemm_dense_out(a, b, symmetric=symmetric), dtype=np.float64
-        )
+        if _bsr_route_ok(matrix_a):
+            c, _ = _bsr_product_host(matrix_a, matrix_b, symmetric)
+            result = np.asarray(c, dtype=np.float64)
+            _set_route("bsr")
+        else:
+            dtype, _ = _upload_dtype(matrix_a, matrix_b)
+            a = from_scipy(matrix_a, dtype=dtype)
+            b = from_scipy(matrix_b, dtype=dtype)
+            result = np.asarray(
+                spgemm_dense_out(a, b, symmetric=symmetric), dtype=np.float64
+            )
+            _set_route("dense")
     else:
         raise ValueError("Invalid output_format. Choose 'sparse' or 'dense'.")
 

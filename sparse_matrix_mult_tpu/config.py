@@ -55,6 +55,13 @@ class Config:
     esc_expand_limit: int = 1 << 22
     # Pallas BSR kernel block edge (MXU native tile).
     block_size: int = 128
+    # Route block-structured operands through the Pallas BSR kernel when the
+    # fraction of nonzero (block_size x block_size) blocks in A is at most
+    # this cutoff (it skips zero blocks entirely: no load, no FLOPs).
+    use_bsr: bool = True
+    bsr_occupancy_cutoff: float = 0.25
+    # Force the BSR route regardless of backend/size (tests).
+    force_pallas_bsr: bool = False
     # Use the Pallas conversion kernels (ops.pallas.convert_kernels) for
     # large CSR<->dense conversions on TPU.  On other backends they run in
     # interpreter mode, so the XLA shift networks stay the default there

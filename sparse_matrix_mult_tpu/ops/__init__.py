@@ -2,6 +2,7 @@
 precision-policy matmuls, and Pallas TPU kernels."""
 
 from .dense_path import spgemm_dense_out, spgemm_sparse_out
+from .pallas.bsr_spgemm import bsr_matmul_dense
 from .matmul import policy_matmul
 from .spgemm_jnp import expansion_size, spgemm_esc
 from .triple_product import triple_product_dense
@@ -13,4 +14,5 @@ __all__ = [
     "expansion_size",
     "triple_product_dense",
     "policy_matmul",
+    "bsr_matmul_dense",
 ]

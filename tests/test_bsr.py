@@ -85,3 +85,68 @@ def test_bsr_empty_block_rows_are_zero():
     assert np.all(got[: 2 * 128] == 0)
     assert np.all(got[3 * 128 :] == 0)
     assert np.allclose(got, ad @ bd)
+
+
+# ---------------------------------------------------------------------------
+# API-level dispatch (round 2): block-structured operands route through the
+# BSR kernel from sparse_matrix_multiply, no private imports needed.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def forced_bsr():
+    import sparse_matrix_mult_tpu as smm
+
+    cfg = smm.get_config()
+    saved = cfg.force_pallas_bsr
+    smm.set_config(force_pallas_bsr=True)
+    yield
+    smm.set_config(force_pallas_bsr=saved)
+
+
+@pytest.mark.parametrize("output_format", ["sparse", "dense"])
+def test_api_routes_block_structured_to_bsr(forced_bsr, output_format):
+    import sparse_matrix_mult_tpu as smm
+
+    ad = block_sparse(3, 3, 0.3, seed=5)
+    A = sp.csr_matrix(ad.astype(np.float64))
+    B = sp.random(3 * 128, 3 * 128, density=0.05, format="csr", random_state=6)
+    got = smm.sparse_matrix_multiply(A, B, output_format=output_format)
+    assert smm.get_last_route() == "bsr"
+    ref = (A @ B).toarray()
+    if output_format == "sparse":
+        got = got.toarray()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_api_bsr_symmetric(forced_bsr):
+    import sparse_matrix_mult_tpu as smm
+
+    ad = block_sparse(3, 3, 0.4, seed=7)
+    A = sp.csr_matrix(ad.astype(np.float64))
+    B = sp.random(3 * 128, 3 * 128, density=0.05, format="csr", random_state=8)
+    got = smm.sparse_matrix_multiply(A, B, symmetric=True)
+    assert smm.get_last_route() == "bsr"
+    np.testing.assert_allclose(
+        got.toarray(), np.triu((A @ B).toarray()), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_dense_route_without_force():
+    """Occupancy above the cutoff (or CPU backend) keeps the dense route."""
+    import sparse_matrix_mult_tpu as smm
+
+    A = sp.random(64, 64, density=0.2, format="csr", random_state=9)
+    B = sp.random(64, 64, density=0.2, format="csr", random_state=10)
+    smm.sparse_matrix_multiply(A, B)
+    assert smm.get_last_route() == "dense"
+
+
+def test_block_occupancy_estimator():
+    from sparse_matrix_mult_tpu.api import block_occupancy
+
+    ad = np.zeros((256, 256))
+    ad[:128, :128] = 1.0
+    assert block_occupancy(sp.csr_matrix(ad), 128) == 0.25
+    assert block_occupancy(sp.csr_matrix(np.zeros((256, 256))), 128) == 0.0
+    assert block_occupancy(sp.csr_matrix(np.ones((256, 256))), 128) == 1.0
