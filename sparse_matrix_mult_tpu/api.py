@@ -88,22 +88,47 @@ def _dense_product(a: CSRMatrix, b: CSRMatrix, symmetric: bool):
     return c, jnp.sum(c != 0)
 
 
+@functools.partial(jax.jit, static_argnames=("symmetric",))
+def _dense_product_only(a: CSRMatrix, b: CSRMatrix, symmetric: bool):
+    return spgemm_dense_out(a, b, symmetric=symmetric)
+
+
 @functools.partial(jax.jit, static_argnames=("out_capacity",))
 def _extract_csr(c, out_capacity: int):
     return dense_to_csr(c, out_capacity)
 
 
 def _dense_to_scipy_csr(a_sp, b_sp, symmetric: bool):
-    """Single-shot dense path: MXU product + on-device extraction."""
+    """Single-shot dense path: MXU product + extraction.
+
+    Extraction strategy by output size: small products are downloaded dense
+    and packed by scipy's C code on host (the device extraction kernels have
+    ~20 ms fixed latency that dominates small problems); large products are
+    extracted on device and downloaded packed.
+    """
+    m = a_sp.shape[0]
+    n = b_sp.shape[1]
+    host_extract = m * n <= get_config().host_extract_limit
+
     if _bsr_route_ok(a_sp):
-        c, nnz_dev = _bsr_product_host(a_sp, b_sp, symmetric)
+        if host_extract:
+            c = _bsr_product_host(a_sp, b_sp, symmetric)[0]
+        else:
+            c, nnz_dev = _bsr_product_host(a_sp, b_sp, symmetric)
         _set_route("bsr")
     else:
         dtype, _ = _upload_dtype(a_sp, b_sp)
         a = from_scipy(a_sp, dtype=dtype)
         b = from_scipy(b_sp, dtype=dtype)
-        c, nnz_dev = _dense_product(a, b, symmetric)
+        if host_extract:
+            c = _dense_product_only(a, b, symmetric)
+        else:
+            c, nnz_dev = _dense_product(a, b, symmetric)
         _set_route("dense")
+
+    if host_extract:
+        return csr_matrix(np.asarray(c, dtype=np.float64))
+
     nnz = int(nnz_dev)
     csr = _extract_csr(c, bucket_capacity(nnz))
     out = to_scipy(csr)

@@ -48,6 +48,12 @@ class Config:
     # Dense fast path is used when rows*cols of every involved matrix is at
     # most this many elements (f32 bytes = 4x this).  1 GiB of f32 by default.
     dense_path_limit: int = 1 << 28
+    # Below this many output elements, sparse-output extraction happens on
+    # host (download the small dense product, pack with scipy's C code)
+    # instead of on device: the device extraction kernels have ~20 ms of
+    # fixed latency that dominates small problems (round-1 review: 500^2
+    # sparse output ran at 0.54x scipy).  4 Mi elements = 16 MiB of f32.
+    host_extract_limit: int = 1 << 22
     # Target partial products per ESC dispatch.  The chunked large-sparse
     # path sizes its flop-balanced row chunks against this; a single row
     # whose flop count exceeds it still runs in ONE dispatch with a larger
