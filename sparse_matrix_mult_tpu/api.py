@@ -93,8 +93,12 @@ def _dense_product_only(a: CSRMatrix, b: CSRMatrix, symmetric: bool):
     return spgemm_dense_out(a, b, symmetric=symmetric)
 
 
-@functools.partial(jax.jit, static_argnames=("out_capacity",))
-def _extract_csr(c, out_capacity: int):
+@functools.partial(jax.jit, static_argnames=("out_capacity", "symmetric"))
+def _extract_csr(c, out_capacity: int, symmetric: bool = False):
+    if symmetric and c.shape[0] == c.shape[1]:
+        from .ops.convert import dense_to_csr_triu
+
+        return dense_to_csr_triu(c, out_capacity)
     return dense_to_csr(c, out_capacity)
 
 
@@ -130,7 +134,7 @@ def _dense_to_scipy_csr(a_sp, b_sp, symmetric: bool):
         return csr_matrix(np.asarray(c, dtype=np.float64))
 
     nnz = int(nnz_dev)
-    csr = _extract_csr(c, bucket_capacity(nnz))
+    csr = _extract_csr(c, bucket_capacity(nnz), symmetric=symmetric)
     out = to_scipy(csr)
     if out.dtype != np.float64:
         out = out.astype(np.float64)

@@ -31,7 +31,7 @@ from .shift_network import (
     monotonic_move_1d,
 )
 
-__all__ = ["csr_to_dense", "dense_to_csr", "csr_row_ids"]
+__all__ = ["csr_to_dense", "dense_to_csr", "dense_to_csr_triu", "csr_row_ids"]
 
 # Below this many dense elements the one-op XLA scatter/nonzero lowering
 # compiles much quicker than a log2(L)-pass network; used on NON-TPU
@@ -111,6 +111,28 @@ def csr_to_dense(a: CSRMatrix, dtype=None, ncols_pad: int | None = None) -> jax.
     (flat,) = distribute((vals,), nnz, dest, rows * ncols_pad, axis=0)
     dense = flat.reshape(rows, ncols_pad)
     return dense[:, :cols] if ncols_pad != cols else dense
+
+
+def dense_to_csr_triu(c: jax.Array, capacity: int, dtype=None) -> CSRMatrix:
+    """Packed CSR of a square upper-triangular dense matrix.
+
+    For the symmetric routines' outputs (zero lower half): on TPU the Pallas
+    staircase extraction scans only ~half the elements
+    (:func:`...convert_kernels.dense_to_csr_triu_staged`); elsewhere it
+    falls back to the plain extractor (correct since the lower half is
+    zero).
+    """
+    rows, cols = c.shape
+    if dtype is not None:
+        c = c.astype(dtype)
+    if rows == cols and _pallas_convert_ok(rows * cols, c.dtype):
+        from .pallas.convert_kernels import dense_to_csr_triu_staged
+
+        indptr, indices, values = dense_to_csr_triu_staged(c, capacity)
+        return CSRMatrix(
+            indptr=indptr, indices=indices, values=values, shape=(rows, cols)
+        )
+    return dense_to_csr(c, capacity)
 
 
 def dense_to_csr(

@@ -254,6 +254,60 @@ def _run_distribute(sv, sd, cnt, G: int = _BLOCK_ROWS, L: int = LANE):
 # ---------------------------------------------------------------------------
 
 
+def _staged_pack(flat, total: int, capacity: int, L: int, G: int, Gs: int):
+    """Shared core of the staged extractions: compact a flat buffer's nonzero
+    entries into a packed (values, positions) prefix.
+
+    ``flat`` is the 1D row-major buffer (any layout -- callers interpret the
+    emitted positions); returns ``(values, positions, nnz)`` arrays of length
+    ``capacity`` (+ live mask applied to values, positions raw).
+    """
+    R = -(-total // L)
+    R_pad = -(-R // (G * Gs)) * (G * Gs)
+    ng2 = R_pad // Gs  # level-2 scan steps
+    cap_pad = capacity + Gs * L  # slack so every level-2 DUS has static size
+
+    if R_pad * L != total:
+        flat = jnp.concatenate([flat, jnp.zeros(R_pad * L - total, flat.dtype)])
+    c2d = jnp.reshape(flat, (R_pad, L))
+
+    # Level 1: per-lane-row compaction on device.  The kernel also emits the
+    # per-lane-row live counts, saving a separate full-array count pass.
+    pv, pp, cnt = _run_concentrate(c2d, total, G=G, L=L)
+    flat_counts = cnt[:, 0]
+    q = jnp.concatenate([jnp.zeros(1, _I32), jnp.cumsum(flat_counts, dtype=_I32)])
+
+    # Level 2: stitch packed lane-rows into the global packed buffer.
+    # (Measured dead end: packing values+positions into one u64 array halves
+    # the op count but not the time -- TPU has no native 64-bit integers, so
+    # XLA decomposes every u64 op back into two u32 ops.)
+    out_v0 = jnp.zeros(cap_pad, flat.dtype)
+    out_p0 = jnp.zeros(cap_pad, _I32)
+
+    def step(carry, g):
+        out_v, out_p = carry
+        r0 = g * Gs
+        z = jnp.zeros((), _I32)
+        rows_v = lax.dynamic_slice(pv, (r0, z), (Gs, L))
+        rows_p = lax.dynamic_slice(pp, (r0, z), (Gs, L))
+        qs = lax.dynamic_slice(q, (r0,), (Gs + 1,))
+        base = qs[0]
+        chunk_v = jnp.zeros(Gs * L, flat.dtype)
+        chunk_p = jnp.zeros(Gs * L, _I32)
+        for r in range(Gs):
+            off = qs[r] - base
+            chunk_v = lax.dynamic_update_slice(chunk_v, rows_v[r], (off,))
+            chunk_p = lax.dynamic_update_slice(chunk_p, rows_p[r], (off,))
+        out_v = lax.dynamic_update_slice(out_v, chunk_v, (base,))
+        out_p = lax.dynamic_update_slice(out_p, chunk_p, (base,))
+        return (out_v, out_p), None
+
+    (out_v, out_p), _ = lax.scan(
+        step, (out_v0, out_p0), jnp.arange(ng2, dtype=_I32)
+    )
+    return out_v[:capacity], out_p[:capacity], q[-1]
+
+
 @functools.partial(jax.jit, static_argnames=("capacity", "lane", "scan_group", "block_rows"))
 def dense_to_csr_staged(
     c: jax.Array,
@@ -269,68 +323,108 @@ def dense_to_csr_staged(
     """
     m, n = c.shape
     L = int(lane)
-    Gs = int(scan_group)
-    Gs = 1 << (Gs - 1).bit_length()  # pairwise merge needs a power of two
+    Gs = 1 << (int(scan_group) - 1).bit_length()  # power of two for merging
     G = int(block_rows)
     total = m * n
-    R = -(-total // L)
-    R_pad = -(-R // (G * Gs)) * (G * Gs)
-    ng2 = R_pad // Gs  # level-2 scan steps
-    cap_pad = capacity + Gs * L  # slack so every level-2 DUS has static size
 
-    flat = jnp.reshape(c, (-1,))
-    if R_pad * L != total:
-        flat = jnp.concatenate([flat, jnp.zeros(R_pad * L - total, c.dtype)])
-    c2d = jnp.reshape(flat, (R_pad, L))
-
-    # Level 1: per-lane-row compaction on device.  The kernel also emits the
-    # per-lane-row live counts, saving a separate full-array count pass.
-    pv, pp, cnt = _run_concentrate(c2d, total, G=G, L=L)
-    flat_counts = cnt[:, 0]
-    q = jnp.concatenate([jnp.zeros(1, _I32), jnp.cumsum(flat_counts, dtype=_I32)])
-
-    # Level 2: stitch packed lane-rows into the global packed buffer.
-    # (Measured dead end: packing values+positions into one u64 array halves
-    # the op count but not the time -- TPU has no native 64-bit integers, so
-    # XLA decomposes every u64 op back into two u32 ops.)
-    out_v0 = jnp.zeros(cap_pad, c.dtype)
-    out_p0 = jnp.zeros(cap_pad, _I32)
-
-    def step(carry, g):
-        out_v, out_p = carry
-        r0 = g * Gs
-        z = jnp.zeros((), _I32)
-        rows_v = lax.dynamic_slice(pv, (r0, z), (Gs, L))
-        rows_p = lax.dynamic_slice(pp, (r0, z), (Gs, L))
-        qs = lax.dynamic_slice(q, (r0,), (Gs + 1,))
-        base = qs[0]
-        chunk_v = jnp.zeros(Gs * L, c.dtype)
-        chunk_p = jnp.zeros(Gs * L, _I32)
-        for r in range(Gs):
-            off = qs[r] - base
-            chunk_v = lax.dynamic_update_slice(chunk_v, rows_v[r], (off,))
-            chunk_p = lax.dynamic_update_slice(chunk_p, rows_p[r], (off,))
-        out_v = lax.dynamic_update_slice(out_v, chunk_v, (base,))
-        out_p = lax.dynamic_update_slice(out_p, chunk_p, (base,))
-        return (out_v, out_p), None
-
-    (out_v, out_p), _ = lax.scan(
-        step, (out_v0, out_p0), jnp.arange(ng2, dtype=_I32)
+    out_v, out_p, nnz = _staged_pack(
+        jnp.reshape(c, (-1,)), total, capacity, L, G, Gs
     )
 
     # Trim the slack; zero everything past nnz (region beyond the last
     # group's write window is stale).
-    nnz = q[-1]
     slot = jnp.arange(capacity, dtype=_I32)
     live = slot < nnz
-    pos = out_p[:capacity]
-    values = jnp.where(live, out_v[:capacity], 0)
-    indices = jnp.where(live, pos % n, 0).astype(_I32)
+    values = jnp.where(live, out_v, 0)
+    indices = jnp.where(live, out_p % n, 0).astype(_I32)
 
     # indptr from the packed positions: indptr[r] = #entries with flat
     # position < r*n.  (Positions are sorted; stale tail masked to total.)
-    pos_sorted = jnp.where(live, pos, total)
+    pos_sorted = jnp.where(live, out_p, total)
     edges = jnp.arange(m + 1, dtype=pos_sorted.dtype) * n
+    indptr = jnp.searchsorted(pos_sorted, edges, side="left").astype(_I32)
+    return indptr, indices, values
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("capacity", "strip", "lane", "scan_group", "block_rows"),
+)
+def dense_to_csr_triu_staged(
+    c: jax.Array,
+    capacity: int,
+    strip: int = 256,
+    lane: int = LANE,
+    scan_group: int = _SCAN_GROUP,
+    block_rows: int = _BLOCK_ROWS,
+):
+    """Upper-triangle-only extraction of a square triu matrix.
+
+    The symmetric routines' dense product is upper triangular (zero lower
+    half); scanning the full (n, n) array wastes half the extraction
+    bandwidth.  This variant scans the **staircase** layout instead: strip
+    ``t`` is rows ``[tT, tT+T)`` restricted to columns ``[tT, n)``
+    (row-major), strips concatenated -- ~n^2/2 + nT/2 elements.  Positions
+    are mapped back to (row, col) with a per-strip decode, and per-row
+    packed order is preserved because each strip is row-major and strips
+    are ascending in row.  The sub-diagonal corner of diagonal strips holds
+    zeros and is dropped by compaction like any other zero.
+
+    The TPU-native analogue of the reference's "emit upper triangle only"
+    contract (``/root/reference/src/sparsework.cpp:217``,
+    ``sparse_sparse_dense.cpp:59-62``) applied to the extraction pass.
+    """
+    m, n = c.shape
+    if m != n:
+        raise ValueError("triu extraction requires a square matrix")
+    T = int(strip)
+    L = int(lane)
+    Gs = 1 << (int(scan_group) - 1).bit_length()
+    G = int(block_rows)
+
+    n_pad = -(-n // T) * T
+    nt = n_pad // T
+    if n_pad != n:
+        c = jnp.pad(c, ((0, n_pad - n), (0, n_pad - n)))
+
+    # Static staircase geometry: strip t has width w_t = n_pad - tT and
+    # starts at offset off_t in the staircase buffer.
+    widths = np.array([n_pad - t * T for t in range(nt)], np.int64)
+    offs = np.concatenate([[0], np.cumsum(T * widths)])
+    total = int(offs[-1])
+
+    strips = [
+        jnp.reshape(lax.slice(c, (t * T, t * T), ((t + 1) * T, n_pad)), (-1,))
+        for t in range(nt)
+    ]
+    flat = jnp.concatenate(strips) if len(strips) > 1 else strips[0]
+
+    out_v, out_p, nnz = _staged_pack(flat, total, capacity, L, G, Gs)
+
+    slot = jnp.arange(capacity, dtype=_I32)
+    live = slot < nnz
+    values = jnp.where(live, out_v, 0)
+
+    # Decode staircase position -> (row, col).
+    offs_j = jnp.asarray(offs, jnp.int64 if total > 2**31 else _I32)
+    pos = out_p
+    t = (jnp.searchsorted(offs_j, pos.astype(offs_j.dtype), side="right") - 1).astype(_I32)
+    t = jnp.clip(t, 0, nt - 1)
+    local = pos - offs_j[t].astype(_I32)
+    w = (np.int32(n_pad) - t * np.int32(T)).astype(_I32)
+    r_local = local // w
+    col = t * np.int32(T) + local % w
+    row = t * np.int32(T) + r_local
+    indices = jnp.where(live, col, 0).astype(_I32)
+
+    # indptr via row-start staircase positions (static): row r in strip
+    # t = r // T starts at offs[t] + (r - tT) * w_t.
+    rows_np = np.arange(m + 1, dtype=np.int64)
+    t_np = np.minimum(rows_np // T, nt - 1)
+    row_starts = offs[t_np] + (rows_np - t_np * T) * widths[t_np]
+    row_starts[-1] = total  # row m edge = end of buffer
+    edges = jnp.asarray(row_starts, offs_j.dtype)
+    pos_sorted = jnp.where(live, pos, total).astype(offs_j.dtype)
     indptr = jnp.searchsorted(pos_sorted, edges, side="left").astype(_I32)
     return indptr, indices, values
 

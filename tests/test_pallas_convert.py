@@ -105,6 +105,66 @@ def test_cross_impl_agreement(impl):
     assert np.allclose(np.asarray(v)[: ref.nnz], ref.data)
 
 
+TRIU_CASES = [
+    # (n, density, strip, lane)
+    (40, 0.3, 16, 128),
+    (130, 0.1, 32, 256),
+    (64, 0.0, 16, 128),  # all-zero
+    (96, 1.0, 32, 128),  # fully dense upper triangle
+    (200, 0.07, 64, 512),  # n not a strip multiple
+]
+
+
+@pytest.mark.parametrize("n,d,strip,lane", TRIU_CASES)
+def test_dense_to_csr_triu_staircase(n, d, strip, lane):
+    """Staircase extraction of an upper-triangular matrix matches scipy."""
+    from sparse_matrix_mult_tpu.ops.pallas.convert_kernels import (
+        dense_to_csr_triu_staged,
+    )
+
+    a = sp.random(n, n, density=d, format="csr", random_state=4)
+    dense = np.triu(np.asarray(a.todense(), np.float32))
+    ref = sp.csr_matrix(dense)
+    ref.eliminate_zeros()
+    cap = max(128, 1 << (max(ref.nnz, 1) - 1).bit_length())
+
+    ip, ci, v = dense_to_csr_triu_staged(
+        jnp.asarray(dense), cap, strip=strip, lane=lane, scan_group=4
+    )
+    ip, ci, v = np.asarray(ip), np.asarray(ci), np.asarray(v)
+    nnz = ip[-1]
+    assert nnz == ref.nnz
+    assert np.array_equal(ip, ref.indptr)
+    assert np.array_equal(ci[:nnz], ref.indices)
+    assert np.allclose(v[:nnz], ref.data)
+    assert np.all(v[nnz:] == 0)
+    assert np.all(ci[nnz:] == 0)
+
+
+def test_dense_to_csr_triu_dispatcher():
+    """ops.convert.dense_to_csr_triu agrees with the plain extractor."""
+    from sparse_matrix_mult_tpu.ops.convert import dense_to_csr, dense_to_csr_triu
+
+    n = 150
+    a = sp.random(n, n, density=0.1, format="csr", random_state=5)
+    dense = jnp.asarray(np.triu(np.asarray(a.todense(), np.float32)))
+    set_config(force_pallas_convert=True)
+    try:
+        tri = dense_to_csr_triu(dense, 1 << 12)
+    finally:
+        set_config(force_pallas_convert=False)
+    plain = dense_to_csr(dense, 1 << 12)
+    assert int(tri.indptr[-1]) == int(plain.indptr[-1])
+    np.testing.assert_array_equal(np.asarray(tri.indptr), np.asarray(plain.indptr))
+    nnz = int(tri.indptr[-1])
+    np.testing.assert_array_equal(
+        np.asarray(tri.indices)[:nnz], np.asarray(plain.indices)[:nnz]
+    )
+    np.testing.assert_allclose(
+        np.asarray(tri.values)[:nnz], np.asarray(plain.values)[:nnz]
+    )
+
+
 def test_convert_dispatch_uses_pallas_when_forced():
     """convert.dense_to_csr / csr_to_dense route through the kernels."""
     from sparse_matrix_mult_tpu.ops.convert import csr_to_dense, dense_to_csr
