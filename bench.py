@@ -30,7 +30,7 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import sparse_matrix_mult_tpu as smm
-from sparse_matrix_mult_tpu.ops.convert import dense_to_csr
+from sparse_matrix_mult_tpu.ops.convert import dense_to_csr_triu
 from sparse_matrix_mult_tpu.ops.dense_path import spgemm_dense_out
 
 REF_SECONDS = 11.4803  # /root/reference/README.md:216-220 (M1, OpenMP)
@@ -48,15 +48,15 @@ def main():
     b = smm.from_scipy(b_sp, dtype=jnp.float32).block_until_ready()
 
     # Full device pipeline for the reference's headline routine (sparse x
-    # sparse -> symmetric sparse CSR): densify, MXU product, upper-triangle
-    # mask, shift-network extraction to packed CSR.  Checksummed so the
-    # timing loop provably executes everything each iteration (the tunneled
-    # device can report buffers ready before execution otherwise).
+    # sparse -> symmetric sparse CSR): densify, upper-tile-only MXU product,
+    # staircase (upper-triangle-only) extraction to packed CSR.  Checksummed
+    # so the timing loop provably executes everything each iteration (the
+    # tunneled device can report buffers ready before execution otherwise).
     cap = smm.bucket_capacity((N * N + N) // 2)
 
     def step(a, b):
         c = spgemm_dense_out(a, b, symmetric=True)
-        csr = dense_to_csr(c, cap)
+        csr = dense_to_csr_triu(c, cap)
         chk = (
             csr.indptr[-1].astype(jnp.float32)
             + jnp.sum(csr.values)

@@ -39,6 +39,7 @@ __all__ = [
     "save_partitioned",
     "load_partitioned",
     "load_sharded_result",
+    "load_sharded_operand",
 ]
 
 
@@ -167,3 +168,79 @@ def load_sharded_result(prefix: str) -> sp.csr_matrix:
     shards, meta = load_partitioned(prefix)
     rows, cols = meta["shape"]
     return stitch_csr(shards, rows, cols)
+
+
+def load_sharded_operand(prefix: str, mesh=None, dtype=None):
+    """Load a partitioned save directly into a row-sharded device operand.
+
+    Bridges the persistence layer to the distributed compute path: when the
+    save's shard count matches the mesh, each shard file is read lazily in
+    the placement callback, so a multi-host process touches only the files
+    backing its own addressable devices -- the persisted counterpart of the
+    reference's per-thread row ranges (``workdivision.cpp:16-89``) scaled to
+    a pod slice.  Mismatched shard counts fall back to stitch + re-shard.
+    Returns a :class:`~...parallel.distributed.ShardedCSR`.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel.distributed import ShardedCSR, shard_csr
+    from .parallel.mesh import row_mesh
+    from .types import bucket_capacity
+
+    mesh = mesh or row_mesh()
+    (axis,) = mesh.axis_names
+    s_count = mesh.devices.size
+    with open(_meta_path(prefix)) as f:
+        meta = json.load(f)
+    if meta["n_shards"] != s_count:
+        return shard_csr(load_sharded_result(prefix), mesh, dtype=dtype)
+
+    bounds = tuple(int(b) for b in meta["bounds"])
+    m, n = (int(x) for x in meta["shape"])
+    rows_pad = max(
+        max(b1 - b0 for b0, b1 in zip(bounds[:-1], bounds[1:])), 1
+    )
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    # Per-shard nnz: from the meta when present, else one cheap header read.
+    shard_nnz = meta.get("shard_nnz")
+    if shard_nnz is None:
+        shard_nnz = []
+        for i in range(s_count):
+            with np.load(_shard_path(prefix, i)) as z:
+                shard_nnz.append(int(z["indptr"][-1]))
+    cap = bucket_capacity(max(max(shard_nnz), 1))
+
+    cache: dict = {}
+
+    def _shard_arrays(s: int):
+        if s not in cache:
+            with np.load(_shard_path(prefix, s)) as z:
+                rows_here = bounds[s + 1] - bounds[s]
+                nnz = int(z["indptr"][-1])
+                ip = np.zeros(rows_pad + 1, np.int32)
+                ip[: rows_here + 1] = z["indptr"]
+                ip[rows_here + 1 :] = nnz
+                ix = np.zeros(cap, np.int32)
+                ix[:nnz] = z["indices"]
+                vv = np.zeros(cap, np.dtype(dtype))
+                vv[:nnz] = z["data"]
+            cache[s] = (ip, ix, vv)
+        return cache[s]
+
+    def put(kind: int, shape):
+        sh = NamedSharding(mesh, P(axis, *([None] * (len(shape) - 1))))
+
+        def cb(idx):
+            s = idx[0].start or 0
+            return _shard_arrays(s)[kind][None]
+
+        return jax.make_array_from_callback(shape, sh, cb)
+
+    ip = put(0, (s_count, rows_pad + 1))
+    ix = put(1, (s_count, cap))
+    vv = put(2, (s_count, cap))
+    cache.clear()
+    return ShardedCSR(ip, ix, vv, (m, n), bounds)

@@ -101,3 +101,37 @@ def test_multiply_from_checkpoint(tmp_path):
     np.testing.assert_allclose(
         c.toarray(), (a @ b).toarray(), rtol=1e-5, atol=1e-8
     )
+
+
+def test_load_sharded_operand_feeds_distributed(tmp_path):
+    """Checkpoint -> row-sharded device operand -> distributed product."""
+    import jax
+
+    from sparse_matrix_mult_tpu.io import load_sharded_operand
+    from sparse_matrix_mult_tpu.parallel.distributed import (
+        spgemm_dense_distributed,
+    )
+    from sparse_matrix_mult_tpu.parallel.mesh import row_mesh
+
+    if len(jax.devices()) < 2:
+        return
+    mesh = row_mesh()
+    S = mesh.devices.size
+    a = sp.random(48, 40, density=0.2, format="csr", random_state=7)
+    b = sp.random(40, 32, density=0.2, format="csr", random_state=8)
+    prefix = str(tmp_path / "op")
+    save_partitioned(prefix, a, n_shards=S)
+    a_sh = load_sharded_operand(prefix, mesh)
+    assert a_sh.n_shards == S
+    assert len(a_sh.indices.addressable_shards) == S
+    np.testing.assert_allclose(a_sh.to_scipy().toarray(), a.toarray())
+    got = spgemm_dense_distributed(a_sh, b, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(got), (a @ b).toarray(), rtol=1e-10, atol=1e-12
+    )
+
+    # Mismatched shard count falls back to stitch + uniform re-shard.
+    prefix2 = str(tmp_path / "op2")
+    save_partitioned(prefix2, a, n_shards=3)
+    a_sh2 = load_sharded_operand(prefix2, mesh)
+    np.testing.assert_allclose(a_sh2.to_scipy().toarray(), a.toarray())
