@@ -45,7 +45,7 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import sparse_matrix_mult_tpu as smm
-from sparse_matrix_mult_tpu.ops.convert import dense_to_csr
+from sparse_matrix_mult_tpu.ops.convert import dense_to_csr, dense_to_csr_triu
 from sparse_matrix_mult_tpu.ops.dense_path import spgemm_dense_out
 from sparse_matrix_mult_tpu.ops.triple_product import triple_product_dense
 
@@ -149,10 +149,27 @@ def bench_config(n_rows: int, n_cols: int, density: float) -> list[dict]:
 
     def f_ssym(a, b):
         c = spgemm_dense_out(a, b, symmetric=True)
-        csr = dense_to_csr(c, out_cap)
+        csr = dense_to_csr_triu(c, out_cap)
         return csr.indptr[-1].astype(jnp.float32) + jnp.sum(csr.values)
 
     record("sparse_sym", _time(jax.jit(f_ssym), a, b), t_scipy_sparse)
+
+    # End-to-end API path (scipy in / scipy out): the strategy ladder picks
+    # host vs device extraction by size -- what a reference user measures.
+    def _time_host(fn):
+        fn()  # warm (compile + route)
+        ts = []
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_api = _time_host(lambda: smm.sparse_matrix_multiply(rng_a, rng_b))
+    record(
+        "api_sparse_nosym", t_api, t_scipy_sparse,
+        {"route": smm.get_last_route()},
+    )
 
     # 5: fused triple product (A.B.A^T); B must be square = (cols x cols).
     q = smm.from_scipy(
