@@ -277,37 +277,10 @@ def _staged_pack(flat, total: int, capacity: int, L: int, G: int, Gs: int):
     flat_counts = cnt[:, 0]
     q = jnp.concatenate([jnp.zeros(1, _I32), jnp.cumsum(flat_counts, dtype=_I32)])
 
-    # Level 2: stitch packed lane-rows into the global packed buffer.  The
-    # scan's dynamic-update ops are latency-bound (~2.5 us each), so values
-    # and positions are interleaved elementwise into ONE i32 array first
-    # (f32 values bitcast): one DUS per lane-row instead of two.  (Earlier
-    # dead end: u64 packing -- TPU has no native 64-bit integers, so XLA
-    # decomposes every u64 op back into two u32 ops; elementwise i32
-    # interleaving keeps all ops 32-bit.)
-    if flat.dtype.itemsize == 4:
-        pvi = lax.bitcast_convert_type(pv, _I32)
-        pk = jnp.stack([pvi, pp], axis=-1).reshape(pv.shape[0], 2 * L)
-        out0 = jnp.zeros(2 * cap_pad, _I32)
-
-        def step(out, g):
-            r0 = g * Gs
-            z = jnp.zeros((), _I32)
-            rows = lax.dynamic_slice(pk, (r0, z), (Gs, 2 * L))
-            qs = lax.dynamic_slice(q, (r0,), (Gs + 1,))
-            base = qs[0]
-            chunk = jnp.zeros(Gs * 2 * L, _I32)
-            for r in range(Gs):
-                off = (qs[r] - base) * 2
-                chunk = lax.dynamic_update_slice(chunk, rows[r], (off,))
-            out = lax.dynamic_update_slice(out, chunk, (base * 2,))
-            return out, None
-
-        out, _ = lax.scan(step, out0, jnp.arange(ng2, dtype=_I32))
-        pair = out[: 2 * capacity].reshape(capacity, 2)
-        out_v = lax.bitcast_convert_type(pair[:, 0], flat.dtype)
-        out_p = pair[:, 1]
-        return out_v, out_p, q[-1]
-
+    # Level 2: stitch packed lane-rows into the global packed buffer.
+    # (Measured dead end: packing values+positions into one u64 array halves
+    # the op count but not the time -- TPU has no native 64-bit integers, so
+    # XLA decomposes every u64 op back into two u32 ops.)
     out_v0 = jnp.zeros(cap_pad, flat.dtype)
     out_p0 = jnp.zeros(cap_pad, _I32)
 
@@ -504,53 +477,27 @@ def csr_to_dense_staged(
     edges = jnp.arange(R_pad + 1, dtype=_I32) * L
     p = jnp.searchsorted(flat_dest, edges, side="left").astype(_I32)
 
-    # Level 2: stage each flat-row's packed run at its own slot.  Values and
-    # destinations are interleaved elementwise into one i32 array (f32
-    # bitcast) so each lane-row needs ONE latency-bound dynamic-slice
-    # instead of two; u64 packing measured as a dead end (decomposed back
-    # to u32 pairs by XLA).
-    if values.dtype.itemsize == 4:
-        vi = lax.bitcast_convert_type(values, _I32)
-        packed = jnp.stack([vi, flat_dest], axis=-1).reshape(-1)
-        packed = jnp.concatenate([packed, jnp.zeros(2 * L, _I32)])
+    # Level 2: stage each flat-row's packed run at its own slot.  (u64
+    # packing measured as a dead end here too; see the extract stitch.)
+    vals_pad = jnp.concatenate([values, jnp.zeros(L, values.dtype)])
+    dest_pad = jnp.concatenate([flat_dest, jnp.zeros(L, _I32)])
 
-        def step(_, g):
-            r0 = g * Gs
-            ps = lax.dynamic_slice(p, (r0,), (Gs + 1,))
-            rows = []
-            for r in range(Gs):
-                rows.append(
-                    lax.dynamic_slice(packed, (ps[r] * 2,), (2 * L,))
-                )
-            cnt = ps[1:] - ps[:-1]
-            return None, (jnp.stack(rows), cnt)
+    def step(_, g):
+        r0 = g * Gs
+        ps = lax.dynamic_slice(p, (r0,), (Gs + 1,))
+        sv = []
+        sd = []
+        for r in range(Gs):
+            start = ps[r]
+            sv.append(lax.dynamic_slice(vals_pad, (start,), (L,)))
+            sd.append(lax.dynamic_slice(dest_pad, (start,), (L,)) - (r0 + r) * L)
+        cnt = ps[1:] - ps[:-1]
+        return None, (jnp.stack(sv), jnp.stack(sd), cnt)
 
-        _, (rows, cnt) = lax.scan(step, None, jnp.arange(ng2, dtype=_I32))
-        pair = jnp.reshape(rows, (R_pad, L, 2))
-        sv = lax.bitcast_convert_type(pair[:, :, 0], values.dtype)
-        row0 = jnp.arange(R_pad, dtype=_I32)[:, None] * L
-        sd = pair[:, :, 1] - row0
-        cnt = jnp.reshape(cnt, (R_pad, 1))
-    else:
-        vals_pad = jnp.concatenate([values, jnp.zeros(L, values.dtype)])
-        dest_pad = jnp.concatenate([flat_dest, jnp.zeros(L, _I32)])
-
-        def step(_, g):
-            r0 = g * Gs
-            ps = lax.dynamic_slice(p, (r0,), (Gs + 1,))
-            sv = []
-            sd = []
-            for r in range(Gs):
-                start = ps[r]
-                sv.append(lax.dynamic_slice(vals_pad, (start,), (L,)))
-                sd.append(lax.dynamic_slice(dest_pad, (start,), (L,)) - (r0 + r) * L)
-            cnt = ps[1:] - ps[:-1]
-            return None, (jnp.stack(sv), jnp.stack(sd), cnt)
-
-        _, (sv, sd, cnt) = lax.scan(step, None, jnp.arange(ng2, dtype=_I32))
-        sv = jnp.reshape(sv, (R_pad, L))
-        sd = jnp.reshape(sd, (R_pad, L))
-        cnt = jnp.reshape(cnt, (R_pad, 1))
+    _, (sv, sd, cnt) = lax.scan(step, None, jnp.arange(ng2, dtype=_I32))
+    sv = jnp.reshape(sv, (R_pad, L))
+    sd = jnp.reshape(sd, (R_pad, L))
+    cnt = jnp.reshape(cnt, (R_pad, 1))
 
     dense_flat = _run_distribute(sv, sd, cnt, G=G, L=L)
     dense_flat = jnp.reshape(dense_flat, (-1,))[:total]
