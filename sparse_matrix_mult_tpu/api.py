@@ -474,6 +474,10 @@ def multiply(
                 symmetric=symmetric,
             )
         c = spgemm_dense_out(a, b, symmetric=symmetric, precision=precision)
+        if symmetric and c.shape[0] == c.shape[1]:
+            from .ops.convert import dense_to_csr_triu
+
+            return dense_to_csr_triu(c, out_capacity)
         return dense_to_csr(c, out_capacity)
     raise ValueError("Invalid output_format. Choose 'sparse' or 'dense'.")
 

@@ -50,3 +50,48 @@ def test_dense_output_matches_sparse_output():
     dense = sparse_matrix_multiply(a, b, output_format="dense")
     sparse = sparse_matrix_multiply(a, b, output_format="sparse")
     assert np.allclose(dense, sparse.toarray())
+
+
+# ---------------------------------------------------------------------------
+# Property-style randomized sweep: every routine on randomized shapes,
+# densities, and value distributions (seeded for reproducibility) -- the
+# coverage class SURVEY.md section 4 notes the reference lacks.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_property_sweep_all_routines(seed):
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(1, 120))
+    k = int(rng.integers(1, 120))
+    n = int(rng.integers(1, 120))
+    da = float(rng.uniform(0.01, 0.5))
+    db = float(rng.uniform(0.01, 0.5))
+    a = sparse_random(m, k, density=da, format="csr", random_state=seed * 7 + 1)
+    b = sparse_random(k, n, density=db, format="csr", random_state=seed * 7 + 2)
+    # Mix in negative and large-magnitude values.
+    a.data = (a.data - 0.5) * 10.0 ** rng.integers(-3, 4)
+    ref = (a @ b).toarray()
+
+    got = sparse_matrix_multiply(a, b, output_format="sparse")
+    np.testing.assert_allclose(got.toarray(), ref, rtol=1e-5, atol=1e-8)
+    got_d = sparse_matrix_multiply(a, b, output_format="dense")
+    np.testing.assert_allclose(got_d, ref, rtol=1e-5, atol=1e-8)
+
+    if m == n:
+        got_s = sparse_matrix_multiply(a, b, symmetric=True)
+        np.testing.assert_allclose(
+            got_s.toarray(), np.triu(ref), rtol=1e-5, atol=1e-8
+        )
+
+    # Triple product needs B square with B.cols == A.cols.
+    q = sparse_random(k, k, density=db, format="csr", random_state=seed * 7 + 3)
+    tp_ref = (a @ q @ a.T).toarray()
+    got_t = sparse_matrix_multiply(a, q, use_triple_product=True)
+    np.testing.assert_allclose(got_t, np.triu(tp_ref), rtol=1e-5, atol=1e-7)
+    got_tf = sparse_matrix_multiply(
+        a, q, use_triple_product=True, compute_full_matrix=1
+    )
+    np.testing.assert_allclose(
+        got_tf, np.triu(tp_ref) + np.triu(tp_ref, 1).T, rtol=1e-5, atol=1e-7
+    )
