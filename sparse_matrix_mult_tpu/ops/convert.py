@@ -126,9 +126,9 @@ def dense_to_csr_triu(c: jax.Array, capacity: int, dtype=None) -> CSRMatrix:
     if dtype is not None:
         c = c.astype(dtype)
     if rows == cols and _pallas_convert_ok(rows * cols, c.dtype):
-        from .pallas.convert_kernels import dense_to_csr_triu_staged
+        from .pallas.convert_kernels import dense_to_csr_triu_pallas
 
-        indptr, indices, values = dense_to_csr_triu_staged(c, capacity)
+        indptr, indices, values = dense_to_csr_triu_pallas(c, capacity)
         return CSRMatrix(
             indptr=indptr, indices=indices, values=values, shape=(rows, cols)
         )

@@ -51,6 +51,8 @@ __all__ = [
     "dense_to_csr_pallas",
     "csr_to_dense_pallas",
     "dense_to_csr_staged",
+    "dense_to_csr_triu_staged",
+    "dense_to_csr_triu_pallas",
     "csr_to_dense_staged",
     "dense_to_csr_fused",
     "csr_to_dense_fused",
@@ -198,6 +200,34 @@ def _concentrate_kernel(
     )
 
 
+def _concentrate_payload_kernel(
+    c_ref, pos_ref, pv_ref, pp_ref, cnt_ref, *, G: int, L: int, total: int
+):
+    """Like :func:`_concentrate_kernel`, but the emitted positions come from
+    a caller-supplied payload array instead of the flat iota.
+
+    Used by the staircase extraction to carry precomputed row-major *matrix*
+    positions, so the post-stitch decode is a static-divisor div/mod instead
+    of a per-element strip search + variable-divisor div/mod (measured ~26 ms
+    of VPU integer-division emulation at the 10k headline).
+    """
+    g = pl.program_id(0)
+    tile = c_ref[...]
+    base = g * np.int32(G * L)
+    flat = (
+        base
+        + lax.broadcasted_iota(_I32, (G, L), 0) * np.int32(L)
+        + lax.broadcasted_iota(_I32, (G, L), 1)
+    )
+    live = (tile != 0) & (flat < total)
+    pv, pp = _concentrate_lanes((tile, pos_ref[...]), live)
+    pv_ref[...] = pv
+    pp_ref[...] = pp
+    cnt_ref[...] = jnp.broadcast_to(
+        jnp.sum(live.astype(_I32), axis=1, keepdims=True), (G, 128)
+    )
+
+
 def _distribute_kernel(sv_ref, sd_ref, cnt_ref, out_ref, *, G: int, L: int):
     """Per-lane-row expansion: staged packed rows -> flat dense rows."""
     sv = sv_ref[...]
@@ -209,14 +239,28 @@ def _distribute_kernel(sv_ref, sd_ref, cnt_ref, out_ref, *, G: int, L: int):
     out_ref[...] = dense
 
 
-def _run_concentrate(c2d, total: int, G: int = _BLOCK_ROWS, L: int = LANE):
+def _run_concentrate(
+    c2d, total: int, G: int = _BLOCK_ROWS, L: int = LANE, pos2d=None
+):
     R = c2d.shape[0]
-    kern = functools.partial(_concentrate_kernel, G=G, L=L, total=total)
+    if pos2d is None:
+        kern = functools.partial(_concentrate_kernel, G=G, L=L, total=total)
+        inputs = (c2d,)
+        in_specs = [pl.BlockSpec((G, L), lambda g: (g, 0))]
+    else:
+        kern = functools.partial(
+            _concentrate_payload_kernel, G=G, L=L, total=total
+        )
+        inputs = (c2d, pos2d)
+        in_specs = [
+            pl.BlockSpec((G, L), lambda g: (g, 0)),
+            pl.BlockSpec((G, L), lambda g: (g, 0)),
+        ]
     with jax.enable_x64(False):
         return pl.pallas_call(
             kern,
             grid=(R // G,),
-            in_specs=[pl.BlockSpec((G, L), lambda g: (g, 0))],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((G, L), lambda g: (g, 0)),
                 pl.BlockSpec((G, L), lambda g: (g, 0)),
@@ -228,7 +272,7 @@ def _run_concentrate(c2d, total: int, G: int = _BLOCK_ROWS, L: int = LANE):
                 jax.ShapeDtypeStruct((R, 128), _I32),
             ),
             interpret=_interpret(),
-        )(c2d)
+        )(*inputs)
 
 
 def _run_distribute(sv, sd, cnt, G: int = _BLOCK_ROWS, L: int = LANE):
@@ -254,13 +298,18 @@ def _run_distribute(sv, sd, cnt, G: int = _BLOCK_ROWS, L: int = LANE):
 # ---------------------------------------------------------------------------
 
 
-def _staged_pack(flat, total: int, capacity: int, L: int, G: int, Gs: int):
+def _staged_pack(
+    flat, total: int, capacity: int, L: int, G: int, Gs: int, pos=None
+):
     """Shared core of the staged extractions: compact a flat buffer's nonzero
     entries into a packed (values, positions) prefix.
 
     ``flat`` is the 1D row-major buffer (any layout -- callers interpret the
     emitted positions); returns ``(values, positions, nnz)`` arrays of length
-    ``capacity`` (+ live mask applied to values, positions raw).
+    ``capacity`` (+ live mask applied to values, positions raw).  ``pos``
+    optionally overrides the emitted positions (same length as ``flat``);
+    the values must be strictly increasing over the live entries for the
+    downstream indptr searchsorted to stay valid.
     """
     R = -(-total // L)
     R_pad = -(-R // (G * Gs)) * (G * Gs)
@@ -269,11 +318,14 @@ def _staged_pack(flat, total: int, capacity: int, L: int, G: int, Gs: int):
 
     if R_pad * L != total:
         flat = jnp.concatenate([flat, jnp.zeros(R_pad * L - total, flat.dtype)])
+        if pos is not None:
+            pos = jnp.concatenate([pos, jnp.zeros(R_pad * L - total, _I32)])
     c2d = jnp.reshape(flat, (R_pad, L))
+    pos2d = None if pos is None else jnp.reshape(pos, (R_pad, L))
 
     # Level 1: per-lane-row compaction on device.  The kernel also emits the
     # per-lane-row live counts, saving a separate full-array count pass.
-    pv, pp, cnt = _run_concentrate(c2d, total, G=G, L=L)
+    pv, pp, cnt = _run_concentrate(c2d, total, G=G, L=L, pos2d=pos2d)
     flat_counts = cnt[:, 0]
     q = jnp.concatenate([jnp.zeros(1, _I32), jnp.cumsum(flat_counts, dtype=_I32)])
 
@@ -398,6 +450,41 @@ def dense_to_csr_triu_staged(
         for t in range(nt)
     ]
     flat = jnp.concatenate(strips) if len(strips) > 1 else strips[0]
+
+    if n_pad * n_pad < 2**31:
+        # Carry row-major MATRIX positions (row * n_pad + col) through the
+        # compaction as the payload channel, built per strip with static
+        # strip geometry.  The post-stitch decode is then one static-divisor
+        # div/mod, vs the generic path's per-element strip search +
+        # variable-divisor div/mod (~26 ms of integer-division emulation at
+        # the 10k headline; v5e measurement net of link RTT: extraction
+        # 45.9 -> ~19 ms).
+        np_ = np.int32(n_pad)
+        pos_strips = [
+            jnp.reshape(
+                (t * T + lax.broadcasted_iota(_I32, (T, int(widths[t])), 0))
+                * np_
+                + t * T
+                + lax.broadcasted_iota(_I32, (T, int(widths[t])), 1),
+                (-1,),
+            )
+            for t in range(nt)
+        ]
+        pos_in = (
+            jnp.concatenate(pos_strips) if len(pos_strips) > 1 else pos_strips[0]
+        )
+        out_v, out_p, nnz = _staged_pack(
+            flat, total, capacity, L, G, Gs, pos=pos_in
+        )
+        slot = jnp.arange(capacity, dtype=_I32)
+        live = slot < nnz
+        values = jnp.where(live, out_v, 0)
+        indices = jnp.where(live, out_p % np_, 0).astype(_I32)
+        sentinel = np.int32(n_pad * n_pad)
+        pos_sorted = jnp.where(live, out_p, sentinel)
+        edges = jnp.arange(m + 1, dtype=_I32) * np_
+        indptr = jnp.searchsorted(pos_sorted, edges, side="left").astype(_I32)
+        return indptr, indices, values
 
     out_v, out_p, nnz = _staged_pack(flat, total, capacity, L, G, Gs)
 
@@ -752,6 +839,26 @@ def _pick_tiling(total: int, lane: int | None):
     return LANE, _BLOCK_ROWS
 
 
+def dense_to_csr_triu_pallas(c: jax.Array, capacity: int, strip: int = 256):
+    """Size-tuned staircase (upper-triangle-only) extraction.
+
+    v5e sweep at the headline size (staircase total ~5.1e7): lane 16384 /
+    block_rows 8 / scan_group 32 nets ~41.0 ms vs 45.8 ms for the 8192/16/16
+    default -- same ~25% lane-row-count lever as the full extractor.
+    (Measured dead ends at this size: 65536+-lane rows on a (R, 1, L) view
+    compile with a raised per-kernel VMEM limit but run ~3.5x slower -- the
+    (1, L) layout idles 7 of 8 VPU sublanes; gather-based stitches lose 2x
+    (windowed) to 600x (elementwise) to the scan.)
+    """
+    n = c.shape[0]
+    total = (n * n + n * strip) // 2
+    L, G = _pick_tiling(total, None)
+    Gs = 32 if total >= _WIDE_LANE_TOTAL else _SCAN_GROUP
+    return dense_to_csr_triu_staged(
+        c, capacity, strip=strip, lane=L, block_rows=G, scan_group=Gs
+    )
+
+
 def dense_to_csr_pallas(c: jax.Array, capacity: int, lane: int | None = None):
     """Packed ``(indptr, indices, values)`` of the nonzero entries of ``c``.
 
@@ -769,5 +876,9 @@ def csr_to_dense_pallas(indptr, indices, values, shape, lane: int | None = None)
     Entries must be sorted by (row, col) with no duplicates -- true for every
     CSR this framework produces.
     """
-    L, G = _pick_tiling(int(shape[0]) * int(shape[1]), lane)
-    return csr_to_dense_staged(indptr, indices, values, shape, lane=L, block_rows=G)
+    total = int(shape[0]) * int(shape[1])
+    L, G = _pick_tiling(total, lane)
+    Gs = 32 if total >= _WIDE_LANE_TOTAL else _SCAN_GROUP
+    return csr_to_dense_staged(
+        indptr, indices, values, shape, lane=L, block_rows=G, scan_group=Gs
+    )

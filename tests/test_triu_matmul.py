@@ -10,9 +10,10 @@ from sparse_matrix_mult_tpu import from_scipy, set_config
 from sparse_matrix_mult_tpu.ops.pallas.triu_matmul import matmul_triu
 
 
+@pytest.mark.parametrize("split3", [True, False])
 @pytest.mark.parametrize("transpose_b", [False, True])
 @pytest.mark.parametrize("m,k", [(300, 500), (256, 256), (100, 700)])
-def test_matmul_triu_matches_numpy(m, k, transpose_b):
+def test_matmul_triu_matches_numpy(m, k, transpose_b, split3):
     rng = np.random.default_rng(m + k)
     a = rng.standard_normal((m, k)).astype(np.float32)
     b = (
@@ -23,12 +24,18 @@ def test_matmul_triu_matches_numpy(m, k, transpose_b):
     got = np.triu(
         np.asarray(
             matmul_triu(jnp.asarray(a), jnp.asarray(b), transpose_b=transpose_b,
-                        tile=128, kblock=128)
+                        tile=128, kblock=128, split3=split3)
         )
     )
     ref = np.triu(a @ (b.T if transpose_b else b))
     assert got.shape == ref.shape
-    assert np.allclose(got, ref, rtol=1e-4, atol=1e-4)
+    if split3:
+        # Double-bf16 split error bound: the dropped lo*lo term is
+        # <= 2^-16 per product, so |err| <= 2^-16 * sum_j |a_ij b_jk|.
+        bound = 2.0**-16 * (np.abs(a) @ np.abs(b.T if transpose_b else b))
+        assert np.all(np.abs(got - ref) <= np.triu(bound) + 1e-6)
+    else:
+        assert np.allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
 def test_symmetric_spgemm_via_triu_kernel():
