@@ -13,9 +13,11 @@
 //
 // Build: make -C native   (produces libsmmhost.so)
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -159,6 +161,135 @@ int64_t smm_csr_triu(
     out_indptr[r + 1] = static_cast<int32_t>(w);
   }
   return w;
+}
+
+// ---------------------------------------------------------------------------
+// Host SpGEMM escape hatch: two-phase Gustavson (count -> exact-alloc -> fill).
+//
+// Tiny problems lose on the accelerator: a device dispatch costs more wall
+// time than the whole multiply (the reference makes the same observation
+// about its serial mode vs MKL, /root/reference/README.md:16-17).  The API
+// layer routes problems below Config.host_compute_limit partial products
+// here.  Unlike the reference's single-pass workers with grow-on-demand
+// realloc (/root/reference/src/sparsework.cpp:81-103), this uses the same
+// two-phase symbolic/numeric shape as the framework's device pipeline:
+// phase 1 counts each output row's nnz, the caller prefix-sums and
+// allocates exactly, phase 2 fills.  No realloc, no stitch, embarrassingly
+// parallel over rows.
+// ---------------------------------------------------------------------------
+
+
+// Phase 1: out_counts[r] = nnz of row r of A@B (upper triangle only when
+// `symmetric`).  Thread-local stamp array of size n_cols.
+void smm_spgemm_count(
+    int64_t m,
+    int64_t n_cols,
+    const int32_t* a_indptr,
+    const int32_t* a_indices,
+    const int32_t* b_indptr,
+    const int32_t* b_indices,
+    int32_t symmetric,
+    int32_t use_parallel,
+    int32_t* out_counts) {
+#ifdef _OPENMP
+#pragma omp parallel if (use_parallel)
+#endif
+  {
+    std::vector<int32_t> stamp(n_cols, -1);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
+    for (int64_t r = 0; r < m; ++r) {
+      const int32_t rid = static_cast<int32_t>(r);
+      int32_t count = 0;
+      for (int32_t p = a_indptr[r]; p < a_indptr[r + 1]; ++p) {
+        const int32_t j = a_indices[p];
+        const int32_t qe = b_indptr[j + 1];
+        if (symmetric) {
+          for (int32_t q = b_indptr[j]; q < qe; ++q) {
+            const int32_t k = b_indices[q];
+            if (k >= rid && stamp[k] != rid) {
+              stamp[k] = rid;
+              ++count;
+            }
+          }
+        } else {
+          for (int32_t q = b_indptr[j]; q < qe; ++q) {
+            const int32_t k = b_indices[q];
+            count += (stamp[k] != rid);
+            stamp[k] = rid;
+          }
+        }
+      }
+      out_counts[r] = count;
+    }
+  }
+}
+
+// Phase 2: fill indices/values; out_indptr is the caller's prefix sum of
+// the phase-1 counts.  Column indices are emitted sorted (the packed-CSR
+// contract of the device conversion kernels).
+void smm_spgemm_fill(
+    int64_t m,
+    int64_t n_cols,
+    const int32_t* a_indptr,
+    const int32_t* a_indices,
+    const double* a_values,
+    const int32_t* b_indptr,
+    const int32_t* b_indices,
+    const double* b_values,
+    int32_t symmetric,
+    int32_t use_parallel,
+    const int32_t* out_indptr,
+    int32_t* out_indices,
+    double* out_values) {
+#ifdef _OPENMP
+#pragma omp parallel if (use_parallel)
+#endif
+  {
+    std::vector<int32_t> stamp(n_cols, -1);
+    std::vector<double> acc(n_cols, 0.0);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
+    for (int64_t r = 0; r < m; ++r) {
+      const int32_t rid = static_cast<int32_t>(r);
+      int32_t* cols = out_indices + out_indptr[r];
+      int32_t count = 0;
+      for (int32_t p = a_indptr[r]; p < a_indptr[r + 1]; ++p) {
+        const int32_t j = a_indices[p];
+        const double av = a_values[p];
+        const int32_t qe = b_indptr[j + 1];
+        if (symmetric) {
+          for (int32_t q = b_indptr[j]; q < qe; ++q) {
+            const int32_t k = b_indices[q];
+            if (k < rid) continue;
+            if (stamp[k] != rid) {
+              stamp[k] = rid;
+              acc[k] = av * b_values[q];
+              cols[count++] = k;
+            } else {
+              acc[k] += av * b_values[q];
+            }
+          }
+        } else {
+          for (int32_t q = b_indptr[j]; q < qe; ++q) {
+            const int32_t k = b_indices[q];
+            if (stamp[k] != rid) {
+              stamp[k] = rid;
+              acc[k] = av * b_values[q];
+              cols[count++] = k;
+            } else {
+              acc[k] += av * b_values[q];
+            }
+          }
+        }
+      }
+      std::sort(cols, cols + count);
+      double* vals = out_values + out_indptr[r];
+      for (int32_t i = 0; i < count; ++i) vals[i] = acc[cols[i]];
+    }
+  }
 }
 
 int32_t smm_version() { return 1; }

@@ -35,7 +35,7 @@ from .ops.matmul import resolve_precision
 from .ops.spgemm_jnp import expansion_size, spgemm_esc
 from .ops.triple_product import triple_product_dense
 from .types import CSRMatrix, bucket_capacity, from_scipy, to_scipy
-from .utils.native import csr_triu, stitch_csr
+from .utils.native import csr_triu, spgemm_host, stitch_csr
 
 __all__ = ["sparse_matrix_multiply", "multiply", "triple_product", "get_last_route"]
 
@@ -297,11 +297,76 @@ def _sparse_out_chunked_dense(a_sp, b_sp, symmetric: bool):
     return out
 
 
+_LINK_CALIBRATED = False
+
+
+def _calibrate_link() -> None:
+    """Measure the device link once and store it in the config.
+
+    Dispatch latency: minimum wall time of a trivial jitted call with a
+    blocking scalar fetch.  Bandwidth: a 2 MiB device->host fetch net of
+    that latency.  On locally attached TPUs this lands near the PCIe-class
+    defaults; behind a network tunnel it correctly steers small and
+    medium problems to the host path.
+    """
+    global _LINK_CALIBRATED
+    _LINK_CALIBRATED = True
+    import time as _time
+
+    try:
+        triv = jax.jit(lambda x: x + 1.0)
+        float(triv(jnp.float32(1.0)))
+        rtts = []
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            float(triv(jnp.float32(1.0)))
+            rtts.append(_time.perf_counter() - t0)
+        rtt = min(rtts)
+        # Each fetch must hit a FRESH device array: jax Arrays cache their
+        # host copy, so re-fetching the same buffer measures nothing.
+        nbytes = 2 << 20
+        f = jax.jit(lambda x: x * 2.0)
+        x = jnp.ones(nbytes // 4, jnp.float32)
+        np.asarray(f(x))  # warm the executable
+        t0 = _time.perf_counter()
+        np.asarray(f(x))
+        dt = _time.perf_counter() - t0
+        bw = nbytes / max(dt - rtt, 1e-5)
+        from .config import set_config
+
+        set_config(link_fixed_s=max(rtt, 1e-5), link_bytes_per_s=max(bw, 1e6))
+    except Exception:  # calibration is best-effort; defaults stand
+        pass
+
+
+def _host_route_wins(expand: int, a_sp, b_sp, out_bytes: int) -> bool:
+    """Cost model: host Gustavson vs device round trip, for scipy-in/out.
+
+    The device path pays a fixed dispatch latency plus operand upload and
+    result download over the host<->device link; the host path costs
+    ``partials / host_rate``.  The reference hard-codes the equivalent
+    judgement call as documentation ("serial mode: use scipy/MKL",
+    ``/root/reference/README.md:16-17``); here it is an explicit, calibratable
+    scheduler decision.  Device-native entry points never route here.
+    """
+    cfg = get_config()
+    if cfg.auto_calibrate_link and not _LINK_CALIBRATED:
+        _calibrate_link()
+        cfg = get_config()
+    out_slots = max(min(expand, out_bytes // 12 if out_bytes else expand), 1)
+    reuse = max(expand / out_slots, 1.0)
+    est_host = expand / (cfg.host_rate_base * reuse**0.5)
+    io_bytes = 12 * (a_sp.nnz + b_sp.nnz) + out_bytes
+    est_dev = cfg.link_fixed_s + io_bytes / cfg.link_bytes_per_s
+    return est_host < est_dev
+
+
 def _sparse_out_host(a_sp, b_sp, symmetric: bool):
     """sparse x sparse -> scipy CSR, choosing the device strategy by size.
 
     Strategy ladder (first match wins):
 
+    0. tiny problem                   -> native host Gustavson (OpenMP)
     1. everything fits densely        -> single MXU product + extraction
     2. few partial products           -> single ESC dispatch
     3. B panel fits densely           -> equal-row dense chunks
@@ -310,10 +375,17 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
     m, k = a_sp.shape
     n = b_sp.shape[1]
 
+    expand = expansion_size(a_sp.indices, a_sp.nnz, b_sp.indptr)
+    if (
+        expand <= get_config().host_compute_limit
+        or _host_route_wins(expand, a_sp, b_sp, out_bytes=12 * min(expand, m * n))
+    ) and not _bsr_route_ok(a_sp):
+        out = spgemm_host(a_sp, b_sp, symmetric, n_partials=expand)
+        _set_route("host")
+        return out
+
     if dense_path_fits((m, k), (k, n), (m, n)):
         return _dense_to_scipy_csr(a_sp, b_sp, symmetric)
-
-    expand = expansion_size(a_sp.indices, a_sp.nnz, b_sp.indptr)
     if expand <= get_config().esc_expand_limit and m * n < 2**31:
         # Expansion-sort: exact structure (keeps Gustavson's structural
         # zeros), capacities exact-then-bucketed.
@@ -422,7 +494,16 @@ def sparse_matrix_multiply(
     elif output_format == "sparse":
         result = _sparse_out_host(matrix_a, matrix_b, symmetric)
     elif output_format == "dense":
-        if _bsr_route_ok(matrix_a):
+        cfg = get_config()
+        expand = expansion_size(matrix_a.indices, matrix_a.nnz, matrix_b.indptr)
+        out_elems = matrix_a.shape[0] * matrix_b.shape[1]
+        if (
+            expand <= cfg.host_compute_limit
+            or _host_route_wins(expand, matrix_a, matrix_b, out_bytes=8 * out_elems)
+        ) and not _bsr_route_ok(matrix_a):
+            result = spgemm_host(matrix_a, matrix_b, symmetric, n_partials=expand).toarray()
+            _set_route("host")
+        elif _bsr_route_ok(matrix_a):
             c, _ = _bsr_product_host(matrix_a, matrix_b, symmetric)
             result = np.asarray(c, dtype=np.float64)
             _set_route("bsr")

@@ -54,6 +54,30 @@ class Config:
     # fixed latency that dominates small problems (round-1 review: 500^2
     # sparse output ran at 0.54x scipy).  4 Mi elements = 16 MiB of f32.
     host_extract_limit: int = 1 << 22
+    # At or below this many partial products the scipy-in/scipy-out API
+    # computes on the HOST via the native OpenMP Gustavson kernel
+    # (utils/native.py spgemm_host): a device dispatch alone costs more
+    # wall time than the whole multiply down here (the reference makes the
+    # same call about its serial mode vs MKL, README.md:16-17).  Device-
+    # native entry points (multiply, spgemm_*) never route to host.
+    host_compute_limit: int = 1 << 19
+    # Host-vs-device cost model for the scipy-in/scipy-out API (above the
+    # hard limit): route to host when
+    #   partials / host_rate  <  link_fixed_s + io_bytes / link_bytes_per_s,
+    # with host_rate = host_rate_base * sqrt(reuse) where reuse =
+    # partials / output-slots models SPA cache amortization (measured on
+    # this 2-core host: ~4e7 partials/s at reuse~1, ~4.8e8 at reuse~100).
+    # Defaults model a locally attached accelerator (PCIe-class link);
+    # behind slower links the auto-calibration below fixes the link terms.
+    host_rate_base: float = 5e7
+    link_fixed_s: float = 2e-3
+    link_bytes_per_s: float = 8e9
+    # Measure the real dispatch latency + device->host bandwidth once, at
+    # the first routing decision, and overwrite the two link_* fields.
+    # Costs one trivial dispatch + one ~2 MB fetch (~5 ms on local
+    # hardware; ~0.2 s behind a network tunnel, amortized over the
+    # process).  Disable for fully deterministic routing.
+    auto_calibrate_link: bool = True
     # Target partial products per ESC dispatch.  The chunked large-sparse
     # path sizes its flop-balanced row chunks against this; a single row
     # whose flop count exceeds it still runs in ONE dispatch with a larger

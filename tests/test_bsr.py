@@ -133,13 +133,18 @@ def test_api_bsr_symmetric(forced_bsr):
 
 
 def test_dense_route_without_force():
-    """Occupancy above the cutoff (or CPU backend) keeps the dense route."""
+    """Occupancy above the cutoff (or CPU backend) never routes to BSR.
+
+    (A problem this tiny routes to the host Gustavson escape hatch; the
+    point here is only that unforced block-dense operands skip the BSR
+    kernel.)
+    """
     import sparse_matrix_mult_tpu as smm
 
     A = sp.random(64, 64, density=0.2, format="csr", random_state=9)
     B = sp.random(64, 64, density=0.2, format="csr", random_state=10)
     smm.sparse_matrix_multiply(A, B)
-    assert smm.get_last_route() == "dense"
+    assert smm.get_last_route() in ("dense", "host")
 
 
 def test_block_occupancy_estimator():
