@@ -104,10 +104,14 @@ class Config:
     use_pallas_triu: bool = True
     # Force the triangular kernel regardless of backend (tests).
     force_pallas_triu: bool = False
-    # Run the triangular kernel's f32 tile products as a double-bf16 split
-    # (3 full-rate MXU passes, ~2.1x faster than 6-pass f32 on v5e;
-    # max-rel error ~3e-6 vs the f64 oracle -- inside the reference's
-    # rtol=1e-5).  Disable for full f32 (HIGHEST) passes.
+    # Allow the triangular kernel's f32 tile products to run as a double-bf16
+    # split (3 full-rate MXU passes, ~2.1x faster than 6-pass f32 on v5e).
+    # Accuracy model: the dropped lo*lo term bounds the error by
+    # ~2^-16 * (|A|@|B|) elementwise -- measured max-rel ~3e-6 on the
+    # reference's non-negative test matrices, but for mixed-sign data with
+    # heavy cancellation the error RELATIVE TO THE TRUE VALUE is unbounded.
+    # It is therefore only engaged when the caller EXPLICITLY requests
+    # ``precision='fast'``; AUTO-resolved FAST keeps full 6-pass f32.
     triu_split3: bool = True
     # Emit the reference's "Multiplication resulted in a zero matrix." notice
     # (/root/reference/sparse_matrix_mult/matrix_ops.py:370-373).

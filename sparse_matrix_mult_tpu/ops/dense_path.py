@@ -124,7 +124,11 @@ def spgemm_dense_out(
             ad = csr_to_dense(a, jnp.float32)
             bd = csr_to_dense(b, jnp.float32)
             out_dtype = jnp.result_type(a.dtype, b.dtype)
-            return jnp.triu(matmul_triu(ad, bd)).astype(out_dtype)
+            # Double-bf16 split3 only when the caller explicitly asked for
+            # FAST: its |A|@|B|-relative error bound is weaker than 6-pass
+            # f32 under cancellation, so AUTO must not opt into it silently.
+            s3 = get_config().triu_split3 and precision == Precision.FAST
+            return jnp.triu(matmul_triu(ad, bd, split3=s3)).astype(out_dtype)
         return jnp.triu(product_dense(a, b, prec))
     return product_dense(a, b, prec)
 

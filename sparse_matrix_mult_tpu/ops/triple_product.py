@@ -54,12 +54,15 @@ def triple_product_dense(
         # j >= i tiles of T . H^T are loaded and multiplied, mirroring the
         # reference's k-from-i loop (sparse_sparse_dense.cpp:200-216).
         from .pallas.triu_matmul import matmul_triu
+        from ..config import get_config
 
         hd = csr_to_dense(h, jnp.float32)
         qd = csr_to_dense(q, jnp.float32)
         kw = dict(precision="highest", preferred_element_type=jnp.float32)
         t = jnp.dot(hd, qd, **kw)
-        c = matmul_triu(t, hd, transpose_b=True).astype(out_dtype)
+        # split3 only on an explicit FAST request (see dense_path note).
+        s3 = get_config().triu_split3 and precision == Precision.FAST
+        c = matmul_triu(t, hd, transpose_b=True, split3=s3).astype(out_dtype)
     elif prec == Precision.STRICT or jax.default_backend() != "tpu":
         hd = csr_to_dense(h)
         qd = csr_to_dense(q)

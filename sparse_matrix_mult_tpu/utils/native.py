@@ -266,11 +266,10 @@ def spgemm_host(a_sp, b_sp, symmetric: bool = False, n_partials: int | None = No
         or n_partials < (1 << 20)
     ):
         out = (a_sp @ b_sp).tocsr()
-        # Unsorted column order within rows, exactly like scipy's own matmul
-        # (and the reference's raw worker output,
-        # /root/reference/src/sparsework.cpp:76); sorting here costs more
-        # than the multiply at these sizes.  from_scipy() canonicalizes on
-        # ingest, so round-tripping back into the framework stays safe.
+        # scipy's matmul leaves per-row column order unsorted; the native
+        # kernel sorts (csr_host.cpp:288).  Canonicalize so the host route
+        # honors the documented sorted-indices contract at every size.
+        out.sort_indices()
         return csr_triu(out) if symmetric else out
 
     m, _ = a_sp.shape
@@ -289,8 +288,18 @@ def spgemm_host(a_sp, b_sp, symmetric: bool = False, n_partials: int | None = No
         _ptr(b_indptr, _I32), _ptr(b_indices, _I32),
         1 if symmetric else 0, parallel, _ptr(counts, _I32),
     )
-    out_indptr = np.zeros(m + 1, np.int32)
-    np.cumsum(counts, out=out_indptr[1:], dtype=np.int32)
+    # Prefix-sum in int64: nnz(C) can exceed int32 when the cost model
+    # routes a huge product here (slow device link).  The native fill
+    # kernel takes int32 indptr, so past the int32 range hand the product
+    # to scipy, whose CSR supports int64 indices.
+    indptr64 = np.zeros(m + 1, np.int64)
+    np.cumsum(counts, out=indptr64[1:], dtype=np.int64)
+    if indptr64[-1] > np.iinfo(np.int32).max:
+        out = (a_sp @ b_sp).tocsr()
+        out.sort_indices()
+        # csr_triu's native path is int32-only; stay in scipy (int64) here.
+        return sp.triu(out, format="csr") if symmetric else out
+    out_indptr = indptr64.astype(np.int32)
     nnz = int(out_indptr[-1])
     out_indices = np.empty(nnz, np.int32)
     out_values = np.empty(nnz, np.float64)

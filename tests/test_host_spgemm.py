@@ -32,12 +32,11 @@ def test_spgemm_host_matches_scipy(m, k, n, density, symmetric):
     if symmetric:
         ref = np.triu(ref)
     np.testing.assert_allclose(out.toarray(), ref, rtol=1e-12, atol=1e-14)
-    # The native OpenMP branch (>= 1M partials) emits sorted column indices;
-    # the scipy branch below that mirrors scipy's unsorted-matmul behavior.
-    if m >= 1000 and density >= 0.01 and m * density * (m * density) >= 2**20:
-        for r in range(min(m, 64)):
-            seg = out.indices[out.indptr[r] : out.indptr[r + 1]]
-            assert np.all(np.diff(seg) > 0)
+    # Both branches (native OpenMP kernel and the small-problem scipy branch)
+    # honor the sorted-column-indices contract of the host route.
+    for r in range(min(m, 64)):
+        seg = out.indices[out.indptr[r] : out.indptr[r + 1]]
+        assert np.all(np.diff(seg) > 0)
 
 
 def test_spgemm_host_empty_rows_and_cols():
@@ -75,8 +74,43 @@ def test_api_host_route_symmetric():
     )
 
 
-def test_api_large_still_routes_to_device():
-    A = sp.random(500, 500, density=0.3, format="csr", random_state=5)
-    B = sp.random(500, 500, density=0.3, format="csr", random_state=6)
-    smm.sparse_matrix_multiply(A, B)
-    assert smm.get_last_route() in ("dense", "esc", "bsr")
+def test_api_large_routes_to_device_on_fast_link():
+    """With the link pinned to PCIe-class parameters (no auto-calibration)
+    the cost model must send 500^2 d=0.3 to a device route.  On a slow
+    tunneled link the same call legitimately routes to host -- routing is a
+    calibrated scheduler decision, not a universal constant -- so the link
+    is pinned here to make the assertion backend-independent."""
+    from sparse_matrix_mult_tpu.config import get_config, set_config
+
+    old = get_config()
+    set_config(
+        auto_calibrate_link=False, link_fixed_s=2e-3, link_bytes_per_s=8e9
+    )
+    try:
+        A = sp.random(500, 500, density=0.3, format="csr", random_state=5)
+        B = sp.random(500, 500, density=0.3, format="csr", random_state=6)
+        smm.sparse_matrix_multiply(A, B)
+        assert smm.get_last_route() in ("dense", "esc", "bsr")
+    finally:
+        set_config(old)
+
+
+def test_api_routes_to_host_on_slow_link():
+    """Same problem, link pinned to tunneled-TPU-class parameters (~25 ms
+    dispatch, ~25 MB/s fetch): the cost model must choose the host route."""
+    from sparse_matrix_mult_tpu.config import get_config, set_config
+
+    old = get_config()
+    set_config(
+        auto_calibrate_link=False, link_fixed_s=25e-3, link_bytes_per_s=25e6
+    )
+    try:
+        A = sp.random(500, 500, density=0.3, format="csr", random_state=5)
+        B = sp.random(500, 500, density=0.3, format="csr", random_state=6)
+        got = smm.sparse_matrix_multiply(A, B)
+        assert smm.get_last_route() == "host"
+        np.testing.assert_allclose(
+            got.toarray(), (A @ B).toarray(), rtol=1e-12, atol=1e-14
+        )
+    finally:
+        set_config(old)
