@@ -127,7 +127,6 @@ def bench_config(n_rows: int, n_cols: int, density: float) -> list[dict]:
 
     a = smm.from_scipy(rng_a, dtype=jnp.float32).block_until_ready()
     b = smm.from_scipy(rng_b, dtype=jnp.float32).block_until_ready()
-    out_cap = smm.bucket_capacity(min(n_rows * n_rows, 1 << 26))
 
     results = []
 
@@ -158,6 +157,10 @@ def bench_config(n_rows: int, n_cols: int, density: float) -> list[dict]:
     t0 = time.perf_counter()
     _ = (rng_a @ rng_b @ rng_a.T).toarray()
     t_scipy_triple = time.perf_counter() - t0
+
+    # Output capacity sized from the true nnz (known from the oracle run):
+    # an undersized bucket would silently truncate the device extraction.
+    out_cap = smm.bucket_capacity(int(c_sp.nnz))
 
     # 1/2: sparse x sparse -> dense (nosym, sym)
     f_dense = jax.jit(lambda a, b: spgemm_dense_out(a, b).sum())
@@ -192,32 +195,50 @@ def bench_config(n_rows: int, n_cols: int, density: float) -> list[dict]:
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t_api = _time_host(lambda: smm.sparse_matrix_multiply(rng_a, rng_b))
-    route = smm.get_last_route()
-    # Device routes download the result over the measurement link; estimate
-    # the transferred bytes so the row can be read net of the link (real
-    # deployments move device->host at GB/s, this tunnel at ~20 MB/s).
-    if route == "host":
-        bytes_out = 0
-    elif n_rows * n_rows <= smm.get_config().host_extract_limit:
-        bytes_out = 4 * n_rows * n_rows  # dense f32 panel
-    else:
-        bytes_out = 8 * int(c_sp.nnz) + 4 * (n_rows + 1)  # packed CSR
-    if route == "host":
-        record("api_sparse_nosym", t_api, t_scipy_sparse, {"route": route},
-               on_device=False)
-    else:
+    def _record_api(name, fn, scipy_s, nnz_out):
+        t_api = _time_host(fn)
+        route = smm.get_last_route()
+        if route == "host":
+            record(name, t_api, scipy_s, {"route": route}, on_device=False)
+            return
+        # Device routes move the result over the measurement link; estimate
+        # the transferred bytes (mirroring the API's own download-format
+        # choice, api.py _dense_to_scipy_csr) so the row can be read net of
+        # the link.  Real deployments move device->host at GB/s; this
+        # tunnel measures ~30-45 MB/s.
+        from sparse_matrix_mult_tpu.utils.transfer import fine_capacity
+
+        mn = n_rows * n_rows
+        if mn <= smm.get_config().host_extract_limit:
+            bytes_out = 4 * mn  # small: dense f32 panel, single fetch
+        else:
+            bytes_out = min(4 * mn, 8 * fine_capacity(nnz_out))
         t_link = bytes_out / link_bandwidth()
         adj = max(t_api - rtt_floor() - t_link, 1e-6)
         record(
-            "api_sparse_nosym", t_api, t_scipy_sparse,
+            name, t_api, scipy_s,
             {
                 "route": route,
                 "bytes_out": bytes_out,
                 "link_bw_mb_s": round(link_bandwidth() / 1e6, 1),
                 "seconds_minus_link": round(adj, 5),
-                "speedup_vs_scipy_net_link": round(t_scipy_sparse / adj, 2),
+                "speedup_vs_scipy_net_link": round(scipy_s / adj, 2),
             },
+        )
+
+    _record_api(
+        "api_sparse_nosym",
+        lambda: smm.sparse_matrix_multiply(rng_a, rng_b),
+        t_scipy_sparse,
+        int(c_sp.nnz),
+    )
+    nnz_triu = int(sp.triu(c_sp).nnz) if n_rows == n_cols else int(c_sp.nnz)
+    if n_rows == n_cols:
+        _record_api(
+            "api_sparse_sym",
+            lambda: smm.sparse_matrix_multiply(rng_a, rng_b, symmetric=True),
+            t_scipy_sparse,
+            nnz_triu,
         )
 
     # 5: fused triple product (A.B.A^T); B must be square = (cols x cols).
@@ -231,10 +252,71 @@ def bench_config(n_rows: int, n_cols: int, density: float) -> list[dict]:
     return results
 
 
+def bench_hypersparse() -> list[dict]:
+    """ESC / chunked-ESC on device: the regime where the output is far too
+    sparse for the dense path (VERDICT r2 item 4).  Reference analogue: the
+    Gustavson hot loop (``/root/reference/src/sparsework.cpp:56-129``) --
+    these matrices are its home turf, so the honest question is how the
+    device expansion-sort compares to the host kernel and scipy.
+
+    Configs:
+      * 40k x 40k, d=2e-4  -> single-dispatch ``esc`` route
+      * 100k x 100k, d=1e-4 -> flop-balanced ``esc_chunks`` route
+    """
+    rows = []
+    for n, density, expect in [(40_000, 2e-4, "esc"), (100_000, 1e-4, "esc_chunks")]:
+        A = sp.random(n, n, density=density, format="csr", random_state=11)
+        B = sp.random(n, n, density=density, format="csr", random_state=12)
+        t0 = time.perf_counter()
+        c_sp = A @ B
+        t_scipy = time.perf_counter() - t0
+        from sparse_matrix_mult_tpu.utils.native import spgemm_host
+
+        t0 = time.perf_counter()
+        spgemm_host(A, B)
+        t_host = time.perf_counter() - t0
+        # Force the device route (the cost model would legitimately send
+        # these to host on a slow link -- the row measures the device engine).
+        old = smm.get_config()
+        smm.set_config(host_rate_base=1e3, host_compute_limit=0, use_bsr=False)
+        try:
+            def call():
+                return smm.sparse_matrix_multiply(A, B)
+
+            call()  # warm/compile
+            ts = []
+            for _ in range(ITERS):
+                t0 = time.perf_counter()
+                call()
+                ts.append(time.perf_counter() - t0)
+            t_dev = min(ts)
+            route = smm.get_last_route()
+        finally:
+            smm.set_config(old)
+        nnz_c = int(c_sp.nnz)
+        rows.append({
+            "config": f"{n}x{n}_d{density}",
+            "routine": "api_sparse_nosym_hypersparse",
+            "route": route,
+            "route_expected": expect,
+            "seconds": round(t_dev, 5),
+            "nnz_c": nnz_c,
+            "nnz_per_s_device": round(nnz_c / t_dev, 1),
+            "scipy_seconds": round(t_scipy, 5),
+            "host_kernel_seconds": round(t_host, 5),
+            "speedup_vs_scipy": round(t_scipy / t_dev, 2),
+            "speedup_host_vs_scipy": round(t_scipy / t_host, 2),
+            "backend": jax.default_backend(),
+        })
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--hypersparse", action="store_true",
+                    help="also run the ESC/chunked-ESC device rows")
     args = ap.parse_args()
 
     configs = QUICK if args.quick else CONFIGS
@@ -248,6 +330,16 @@ def main():
                 f"{r['seconds_minus_rtt']*1e3:9.2f} ms (+{r['link_rtt']*1e3:.0f} link)  "
                 f"scipy {r['scipy_seconds']*1e3:9.2f} ms  "
                 f"({r['speedup_vs_scipy']}x)"
+            )
+    if args.hypersparse:
+        hrows = bench_hypersparse()
+        all_rows.extend(hrows)
+        for r in hrows:
+            print(
+                f"{r['config']:>22}  {r['routine']:<28} route={r['route']} "
+                f"{r['seconds']:8.3f} s  scipy {r['scipy_seconds']:8.3f} s  "
+                f"host {r['host_kernel_seconds']:8.3f} s  "
+                f"({r['speedup_vs_scipy']}x vs scipy)"
             )
     if args.json:
         with open(args.json, "w") as f:

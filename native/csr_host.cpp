@@ -292,7 +292,88 @@ void smm_spgemm_fill(
   }
 }
 
-int32_t smm_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Dense (row-major) -> CSR pack.
+//
+// When the device product is dense-ish, downloading the dense f32 panel is
+// fewer bytes than packed CSR (4 B/element vs 8-12 B/entry), so the API
+// fetches the panel and packs on host.  scipy's own csr_matrix(dense) is
+// serial and ~24 s at 1e8 nnz on this host; this two-phase OpenMP pack is
+// memory-bandwidth bound (~1-2 s).  Host analogue of the device extraction
+// kernels (ops/pallas/convert_kernels.py); structurally the same
+// count -> prefix -> fill pipeline.
+// ---------------------------------------------------------------------------
+
+// Phase 1: per-row nonzero counts of an (m, n) row-major panel.
+void smm_dense_pack_count_f32(
+    int64_t m, int64_t n, const float* dense, int32_t* counts) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t r = 0; r < m; ++r) {
+    const float* row = dense + r * n;
+    int32_t c = 0;
+    for (int64_t j = 0; j < n; ++j) c += (row[j] != 0.0f);
+    counts[r] = c;
+  }
+}
+
+// Phase 2: fill int32 indices + f64 values (upcast at pack time -- the
+// device computes f32 under the FAST policy; the API returns float64).
+void smm_dense_pack_fill_f32(
+    int64_t m, int64_t n, const float* dense, const int32_t* indptr,
+    int32_t* indices, double* values) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t r = 0; r < m; ++r) {
+    const float* row = dense + r * n;
+    int64_t w = indptr[r];
+    for (int64_t j = 0; j < n; ++j) {
+      const float v = row[j];
+      if (v != 0.0f) {
+        indices[w] = static_cast<int32_t>(j);
+        values[w] = static_cast<double>(v);
+        ++w;
+      }
+    }
+  }
+}
+
+void smm_dense_pack_count_f64(
+    int64_t m, int64_t n, const double* dense, int32_t* counts) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t r = 0; r < m; ++r) {
+    const double* row = dense + r * n;
+    int32_t c = 0;
+    for (int64_t j = 0; j < n; ++j) c += (row[j] != 0.0);
+    counts[r] = c;
+  }
+}
+
+void smm_dense_pack_fill_f64(
+    int64_t m, int64_t n, const double* dense, const int32_t* indptr,
+    int32_t* indices, double* values) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t r = 0; r < m; ++r) {
+    const double* row = dense + r * n;
+    int64_t w = indptr[r];
+    for (int64_t j = 0; j < n; ++j) {
+      const double v = row[j];
+      if (v != 0.0) {
+        indices[w] = static_cast<int32_t>(j);
+        values[w] = v;
+        ++w;
+      }
+    }
+  }
+}
+
+int32_t smm_version() { return 2; }
 
 int32_t smm_num_threads() {
 #ifdef _OPENMP

@@ -105,11 +105,22 @@ def _extract_csr(c, out_capacity: int, symmetric: bool = False):
 def _dense_to_scipy_csr(a_sp, b_sp, symmetric: bool):
     """Single-shot dense path: MXU product + extraction.
 
-    Extraction strategy by output size: small products are downloaded dense
-    and packed by scipy's C code on host (the device extraction kernels have
-    ~20 ms fixed latency that dominates small problems); large products are
-    extracted on device and downloaded packed.
+    Extraction strategy, chosen by measured cost on the calibrated link:
+
+    * tiny outputs (< ``host_extract_limit`` elements): download the dense
+      panel in one fetch, pack with scipy -- the device extraction kernels
+      have ~20 ms fixed latency that dominates down here.
+    * dense-ish outputs (panel bytes < packed-CSR bytes, i.e. density
+      > ~50% for f32 panels): download the raw panel as concurrent row
+      blocks and pack on host with the native OpenMP kernel, overlapping
+      pack with the in-flight transfer (utils/transfer.fetch_dense_to_csr).
+      The 10k x 10k d=0.1 headline product is 100% dense -- packed CSR
+      would move 2-3x the bytes.
+    * sparse outputs: extract packed CSR on device (Pallas kernels),
+      download fine-trimmed entry arrays chunked (types.to_scipy).
     """
+    from .utils.transfer import fetch_dense_to_csr, fine_capacity
+
     m = a_sp.shape[0]
     n = b_sp.shape[1]
     host_extract = m * n <= get_config().host_extract_limit
@@ -133,7 +144,12 @@ def _dense_to_scipy_csr(a_sp, b_sp, symmetric: bool):
     if host_extract:
         return csr_matrix(np.asarray(c, dtype=np.float64))
 
-    nnz = int(nnz_dev)
+    nnz = int(nnz_dev)  # one scalar fetch; decides the download format
+    panel_bytes = m * n * c.dtype.itemsize
+    csr_bytes = (4 + c.dtype.itemsize) * fine_capacity(nnz)
+    if panel_bytes < csr_bytes:
+        return fetch_dense_to_csr(c, symmetric=symmetric, nnz=nnz)
+
     csr = _extract_csr(c, bucket_capacity(nnz), symmetric=symmetric)
     out = to_scipy(csr)
     if out.dtype != np.float64:
@@ -331,33 +347,68 @@ def _calibrate_link() -> None:
         t0 = _time.perf_counter()
         np.asarray(f(x))
         dt = _time.perf_counter() - t0
-        bw = nbytes / max(dt - rtt, 1e-5)
+        down_bw = nbytes / max(dt - rtt, 1e-5)
+        # Upload direction (the tunneled chip moves H2D ~3x faster than D2H).
+        h = np.ones(nbytes // 4, np.float32)
+        jax.device_put(h).block_until_ready()  # warm the path
+        t0 = _time.perf_counter()
+        jax.device_put(h).block_until_ready()
+        dt = _time.perf_counter() - t0
+        up_bw = nbytes / max(dt - rtt, 1e-5)
         from .config import set_config
 
-        set_config(link_fixed_s=max(rtt, 1e-5), link_bytes_per_s=max(bw, 1e6))
+        set_config(
+            link_fixed_s=max(rtt, 1e-5),
+            link_up_bytes_per_s=max(up_bw, 1e6),
+            link_down_bytes_per_s=max(down_bw, 1e6),
+        )
     except Exception:  # calibration is best-effort; defaults stand
         pass
 
 
-def _host_route_wins(expand: int, a_sp, b_sp, out_bytes: int) -> bool:
+def _est_result_nnz(expand: int, m: int, n: int) -> int:
+    """Expected nnz(C) from the partial-product count under a random
+    collision model: each of ``expand`` partials lands uniformly in the
+    m*n output slots, so a slot is hit with prob 1-exp(-expand/(m*n)).
+    Exact in both limits (hypersparse: nnz ~= expand; dense: nnz ~= m*n)."""
+    slots = max(m * n, 1)
+    return int(slots * (1.0 - np.exp(-expand / slots)))
+
+
+def _host_route_wins(expand: int, a_sp, b_sp, out_bytes: int | None = None) -> bool:
     """Cost model: host Gustavson vs device round trip, for scipy-in/out.
 
     The device path pays a fixed dispatch latency plus operand upload and
-    result download over the host<->device link; the host path costs
-    ``partials / host_rate``.  The reference hard-codes the equivalent
-    judgement call as documentation ("serial mode: use scipy/MKL",
-    ``/root/reference/README.md:16-17``); here it is an explicit, calibratable
-    scheduler decision.  Device-native entry points never route here.
+    result download over the host<->device link (modeled per direction --
+    the tunneled chip's D2H is ~3x slower than H2D); the host path costs
+    ``partials / host_rate``.  The download term uses the cheaper of the
+    two result encodings the dense route can ship (raw f32 panel vs packed
+    CSR -- see ``_dense_to_scipy_csr``).  The reference hard-codes the
+    equivalent judgement call as documentation ("serial mode: use
+    scipy/MKL", ``/root/reference/README.md:16-17``); here it is an
+    explicit, calibratable scheduler decision.  Device-native entry points
+    never route here.
     """
     cfg = get_config()
     if cfg.auto_calibrate_link and not _LINK_CALIBRATED:
         _calibrate_link()
         cfg = get_config()
-    out_slots = max(min(expand, out_bytes // 12 if out_bytes else expand), 1)
+    m = a_sp.shape[0]
+    n = b_sp.shape[1]
+    nnz_est = _est_result_nnz(expand, m, n)
+    if out_bytes is None:
+        # Sparse output: cheaper of packed CSR (8 B/entry fine-trimmed,
+        # f32 values) and the raw f32 panel + host pack.
+        csr_bytes = 8 * nnz_est
+        panel_cost = 4 * m * n / cfg.link_down_bytes_per_s + m * n / cfg.host_pack_rate
+        down_cost = min(csr_bytes / cfg.link_down_bytes_per_s, panel_cost)
+    else:
+        down_cost = out_bytes / cfg.link_down_bytes_per_s
+    out_slots = max(nnz_est, 1)
     reuse = max(expand / out_slots, 1.0)
     est_host = expand / (cfg.host_rate_base * reuse**0.5)
-    io_bytes = 12 * (a_sp.nnz + b_sp.nnz) + out_bytes
-    est_dev = cfg.link_fixed_s + io_bytes / cfg.link_bytes_per_s
+    up_bytes = 8 * (a_sp.nnz + b_sp.nnz)  # f32 values + int32 indices
+    est_dev = cfg.link_fixed_s + up_bytes / cfg.link_up_bytes_per_s + down_cost
     return est_host < est_dev
 
 
@@ -378,7 +429,7 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
     expand = expansion_size(a_sp.indices, a_sp.nnz, b_sp.indptr)
     if (
         expand <= get_config().host_compute_limit
-        or _host_route_wins(expand, a_sp, b_sp, out_bytes=12 * min(expand, m * n))
+        or _host_route_wins(expand, a_sp, b_sp)
     ) and not _bsr_route_ok(a_sp):
         out = spgemm_host(a_sp, b_sp, symmetric, n_partials=expand)
         _set_route("host")
@@ -499,21 +550,25 @@ def sparse_matrix_multiply(
         out_elems = matrix_a.shape[0] * matrix_b.shape[1]
         if (
             expand <= cfg.host_compute_limit
-            or _host_route_wins(expand, matrix_a, matrix_b, out_bytes=8 * out_elems)
+            or _host_route_wins(expand, matrix_a, matrix_b, out_bytes=4 * out_elems)
         ) and not _bsr_route_ok(matrix_a):
             result = spgemm_host(matrix_a, matrix_b, symmetric, n_partials=expand).toarray()
             _set_route("host")
         elif _bsr_route_ok(matrix_a):
+            from .utils.transfer import fetch_np
+
             c, _ = _bsr_product_host(matrix_a, matrix_b, symmetric)
-            result = np.asarray(c, dtype=np.float64)
+            result = fetch_np(c).astype(np.float64)
             _set_route("bsr")
         else:
+            from .utils.transfer import fetch_np
+
             dtype, _ = _upload_dtype(matrix_a, matrix_b)
             a = from_scipy(matrix_a, dtype=dtype)
             b = from_scipy(matrix_b, dtype=dtype)
-            result = np.asarray(
-                spgemm_dense_out(a, b, symmetric=symmetric), dtype=np.float64
-            )
+            result = fetch_np(
+                _dense_product_only(a, b, symmetric)
+            ).astype(np.float64)
             _set_route("dense")
     else:
         raise ValueError("Invalid output_format. Choose 'sparse' or 'dense'.")

@@ -63,15 +63,22 @@ class Config:
     host_compute_limit: int = 1 << 19
     # Host-vs-device cost model for the scipy-in/scipy-out API (above the
     # hard limit): route to host when
-    #   partials / host_rate  <  link_fixed_s + io_bytes / link_bytes_per_s,
+    #   partials / host_rate  <  link_fixed_s + up_bytes / link_up_bytes_per_s
+    #                            + down_bytes / link_down_bytes_per_s,
     # with host_rate = host_rate_base * sqrt(reuse) where reuse =
     # partials / output-slots models SPA cache amortization (measured on
     # this 2-core host: ~4e7 partials/s at reuse~1, ~4.8e8 at reuse~100).
     # Defaults model a locally attached accelerator (PCIe-class link);
     # behind slower links the auto-calibration below fixes the link terms.
+    # The two directions are modeled separately: the tunneled chip here
+    # uploads ~3x faster than it downloads (measured ~95-130 vs ~28-47 MB/s).
     host_rate_base: float = 5e7
     link_fixed_s: float = 2e-3
-    link_bytes_per_s: float = 8e9
+    link_up_bytes_per_s: float = 8e9
+    link_down_bytes_per_s: float = 8e9
+    # Host dense->CSR pack rate (elements/s) for the dense-panel download
+    # route (native OpenMP kernel, utils/native.py dense_pack).
+    host_pack_rate: float = 2.5e7
     # Measure the real dispatch latency + device->host bandwidth once, at
     # the first routing decision, and overwrite the two link_* fields.
     # Costs one trivial dispatch + one ~2 MB fetch (~5 ms on local

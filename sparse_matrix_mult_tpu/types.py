@@ -28,6 +28,7 @@ the reference's geometric realloc policy (``sparsework.cpp:81-103``).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -168,9 +169,26 @@ class CSRMatrix:
 # copies: data is uploaded once to device HBM.
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _pad_entries(indices: jax.Array, values: jax.Array, cap: int):
+    """Zero-pad fine-bucket uploads up to the canonical power-of-two
+    capacity on device (one cheap dispatch; keeps every downstream kernel
+    compiled against stable power-of-two shapes)."""
+    pad = cap - indices.shape[0]
+    return jnp.pad(indices, (0, pad)), jnp.pad(values, (0, pad))
+
+
 def from_scipy(mat, dtype=None, capacity: int | None = None) -> CSRMatrix:
-    """Upload a scipy CSR (or anything csr_matrix accepts) to device."""
+    """Upload a scipy CSR (or anything csr_matrix accepts) to device.
+
+    The container capacity is a power of two (compile stability), but the
+    host->device transfer only carries a fine-bucketed payload (<= 6.25%
+    padding) when the saving is material; the remaining zero-padding is
+    materialized on device.
+    """
     import scipy.sparse as _sp
+
+    from .utils.transfer import fine_capacity
 
     if not _sp.issparse(mat):
         mat = _sp.csr_matrix(np.asarray(mat))
@@ -183,33 +201,66 @@ def from_scipy(mat, dtype=None, capacity: int | None = None) -> CSRMatrix:
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     indptr = jnp.asarray(mat.indptr, dtype=INDEX_DTYPE)
-    indices = np.zeros(cap, dtype=np.int32)
-    values = np.zeros(cap, dtype=np.dtype(dtype))
+    fine = min(fine_capacity(nnz), cap)
+    entry_bytes = 4 + np.dtype(dtype).itemsize
+    if fine < cap and (cap - fine) * entry_bytes > (4 << 20):
+        up_cap = fine
+    else:
+        up_cap = cap
+    indices = np.zeros(up_cap, dtype=np.int32)
+    values = np.zeros(up_cap, dtype=np.dtype(dtype))
     indices[:nnz] = mat.indices
     values[:nnz] = mat.data
+    idx_d = jnp.asarray(indices)
+    val_d = jnp.asarray(values)
+    if up_cap < cap:
+        idx_d, val_d = _pad_entries(idx_d, val_d, cap)
     return CSRMatrix(
         indptr=indptr,
-        indices=jnp.asarray(indices),
-        values=jnp.asarray(values),
+        indices=idx_d,
+        values=val_d,
         shape=tuple(int(s) for s in mat.shape),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("fine",))
+def _trim_to(indices: jax.Array, values: jax.Array, fine: int):
+    """Slice both entry arrays to a fine transfer capacity (one dispatch).
+
+    Static ``fine`` comes from :func:`utils.transfer.fine_capacity`: at most
+    16 distinct slice programs per octave, each a trivial compile.
+    """
+    return indices[:fine], values[:fine]
 
 
 def to_scipy(mat: CSRMatrix):
     """Download a device CSRMatrix to an exact (trimmed) scipy csr_matrix.
 
-    Fetches the full padded buffers and trims on host: slicing the *device*
-    array by the data-dependent ``nnz`` would compile a fresh
-    shape-specialized executable per distinct nnz (minutes over a remote
-    compile link), while the padded transfer is at most 2x the payload
-    (capacities are bucketed).
+    Transfer policy (the device->host link can be the whole cost of a
+    scipy-out call -- measured ~28-47 MB/s on a tunneled chip):
+
+    * Capacities are powers of two (compile stability), i.e. up to 2x the
+      payload.  When the saving is material the entry arrays are first
+      sliced on device to a fine bucket (<= 6.25% slack; one cheap extra
+      dispatch) -- slicing to the *exact* data-dependent nnz would compile a
+      fresh program per distinct nnz, which is minutes over a remote link.
+    * Large buffers download as concurrent row-block chunks
+      (:func:`utils.transfer.fetch_np`, ~1.5x monolithic bandwidth here).
     """
     import scipy.sparse as _sp
 
+    from .utils.transfer import fetch_np, fine_capacity
+
     indptr = np.asarray(mat.indptr)
     nnz = int(indptr[-1])
-    indices = np.asarray(mat.indices)[:nnz]
-    values = np.asarray(mat.values)[:nnz]
+    cap = mat.capacity
+    fine = min(fine_capacity(nnz), cap)
+    entry_bytes = mat.indices.dtype.itemsize + mat.values.dtype.itemsize
+    idx_d, val_d = mat.indices, mat.values
+    if fine < cap and (cap - fine) * entry_bytes > (4 << 20):
+        idx_d, val_d = _trim_to(mat.indices, mat.values, fine)
+    indices = fetch_np(idx_d)[:nnz]
+    values = fetch_np(val_d)[:nnz]
     out = _sp.csr_matrix((values, indices, indptr), shape=mat.shape)
     return out
 

@@ -84,7 +84,10 @@ def test_api_large_routes_to_device_on_fast_link():
 
     old = get_config()
     set_config(
-        auto_calibrate_link=False, link_fixed_s=2e-3, link_bytes_per_s=8e9
+        auto_calibrate_link=False,
+        link_fixed_s=2e-3,
+        link_up_bytes_per_s=8e9,
+        link_down_bytes_per_s=8e9,
     )
     try:
         A = sp.random(500, 500, density=0.3, format="csr", random_state=5)
@@ -102,7 +105,10 @@ def test_api_routes_to_host_on_slow_link():
 
     old = get_config()
     set_config(
-        auto_calibrate_link=False, link_fixed_s=25e-3, link_bytes_per_s=25e6
+        auto_calibrate_link=False,
+        link_fixed_s=25e-3,
+        link_up_bytes_per_s=100e6,
+        link_down_bytes_per_s=30e6,
     )
     try:
         A = sp.random(500, 500, density=0.3, format="csr", random_state=5)
