@@ -55,6 +55,7 @@ __all__ = [
     "ring_matmul",
     "spgemm_dense_distributed",
     "spgemm_csr_distributed",
+    "spgemm_csr_distributed_sparse",
     "triple_product_distributed",
     "pad_to_multiple",
 ]
@@ -445,6 +446,236 @@ def spgemm_csr_distributed(
     )
     ip, ix, vv = _spgemm_csr_jit(mesh, symmetric, cap_l)(a, b)
     return ShardedCSR(ip, ix, vv, (m, n), a.bounds)
+
+
+# ---------------------------------------------------------------------------
+# Sparse local contraction: the large-sparse regime (NO densification).
+#
+# spgemm_csr_distributed densifies each shard's rows, which caps the mesh at
+# problems whose dense (rows_pad x n) panels fit per-chip HBM -- a 1M x 1M
+# d=1e-5 operand is ~10 GB as CSR but its dense shard panels are terabytes.
+# This path keeps EVERYTHING sparse: B blocks ring-rotate as packed CSR
+# arrays (the wire moves 12 B/entry, not 8 B/element), and each ring step
+# expands partial products ESC-style into a per-step segment of a static
+# buffer; one lexicographic (row, col) sort + segment-sum after the ring
+# builds the local output CSR.  Two int32 sort keys replace the int64
+# row*n+col key, so n > 2^31/rows works without x64.
+#
+# Reference analogue: B held once and read by all workers
+# (/root/reference/src/sparse_sparse_sparse.cpp:228-241); SURVEY section 5's
+# "B row-blocks ring-streamed" plan.
+# ---------------------------------------------------------------------------
+
+
+def _expand_step_capacity(a_sp, b_sp, bounds, s_count: int) -> tuple:
+    """Host-side exact per-(shard, ring-step) expansion sizes.
+
+    Returns (max over shard/step of partial products in one step,
+    max over shards of total partial products) -- the two static
+    capacities of the sparse ring kernel.
+    """
+    kb = -(-b_sp.shape[0] // s_count) if b_sp.shape[0] else 1
+    b_row_nnz = np.diff(b_sp.indptr)
+    per_entry = b_row_nnz[a_sp.indices].astype(np.int64)
+    col_block = (a_sp.indices // kb).astype(np.int64)
+    shard_of_entry = np.zeros(a_sp.nnz, np.int64)
+    for s in range(s_count):
+        lo, hi = int(a_sp.indptr[bounds[s]]), int(a_sp.indptr[bounds[s + 1]])
+        shard_of_entry[lo:hi] = s
+    key = shard_of_entry * s_count + col_block
+    per_step = np.bincount(key, weights=per_entry, minlength=s_count * s_count)
+    per_shard = per_step.reshape(s_count, s_count).sum(axis=1)
+    return int(per_step.max()) if per_step.size else 1, int(per_shard.max()) if per_shard.size else 1
+
+
+@functools.lru_cache(maxsize=None)
+def _spgemm_sparse_jit(
+    mesh: Mesh, symmetric: bool, e_step: int, cap_l: int
+):
+    (axis,) = mesh.axis_names
+    s_count = mesh.devices.size
+
+    @jax.jit
+    def fn(a: ShardedCSR, b: ShardedCSR):
+        m, k = a.shape
+        n = b.shape[1]
+        kb = b.rows_pad
+        rows_pad = a.rows_pad
+        bounds_arr = jnp.asarray(a.row_bounds, INDEX_DTYPE)
+        val_dtype = jnp.result_type(a.values.dtype, b.values.dtype)
+        BIG = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+
+        def local(a_ip2, a_ix2, a_v2, b_ip2, b_ix2, b_v2):
+            a_ip = a_ip2.reshape(-1)
+            a_ix = a_ix2.reshape(-1)
+            a_v = a_v2.reshape(-1)
+            my = lax.axis_index(axis)
+            row0 = bounds_arr[my]
+            cap_a = a_ix.shape[0]
+
+            # Local row id of every A entry (padding -> row 0, value 0).
+            slot = jnp.arange(cap_a, dtype=INDEX_DTYPE)
+            nnz_a = a_ip[-1]
+            rid = jnp.searchsorted(a_ip, slot, side="right").astype(INDEX_DTYPE) - 1
+            a_rows = jnp.where(slot < nnz_a, rid, 0)
+            a_live = slot < nnz_a
+
+            perm = [(i, (i - 1) % s_count) for i in range(s_count)]
+            e = jnp.arange(e_step, dtype=INDEX_DTYPE)
+
+            rows_buf0 = jnp.full((s_count * e_step,), BIG, jnp.int32)
+            cols_buf0 = jnp.full((s_count * e_step,), BIG, jnp.int32)
+            vals_buf0 = jnp.zeros((s_count * e_step,), val_dtype)
+            rows_buf0 = _device_varying(rows_buf0, axis)
+            cols_buf0 = _device_varying(cols_buf0, axis)
+            vals_buf0 = _device_varying(vals_buf0, axis)
+
+            def body(s, carry):
+                b_ip_c, b_ix_c, b_v_c, rows_buf, cols_buf, vals_buf = carry
+                bip = b_ip_c.reshape(-1)
+                bix = b_ix_c.reshape(-1)
+                bv = b_v_c.reshape(-1)
+                j = (my + s) % s_count
+                col0 = (j * kb).astype(INDEX_DTYPE)
+                # Expansion lengths for A entries whose column is in block j.
+                a_col_loc = a_ix - col0
+                in_blk = a_live & (a_col_loc >= 0) & (a_col_loc < kb)
+                safe_col = jnp.clip(a_col_loc, 0, kb - 1)
+                lens = jnp.where(in_blk, bip[safe_col + 1] - bip[safe_col], 0)
+                ends = jnp.cumsum(lens, dtype=INDEX_DTYPE)
+                starts = ends - lens
+                total = ends[-1] if cap_a > 0 else jnp.zeros((), INDEX_DTYPE)
+                # ESC expand into this step's static segment.
+                src = jnp.searchsorted(ends, e, side="right").astype(INDEX_DTYPE)
+                src = jnp.clip(src, 0, max(cap_a - 1, 0))
+                within = e - starts[src]
+                b_pos = bip[jnp.clip(a_col_loc[src], 0, kb - 1)] + within
+                b_pos = jnp.clip(b_pos, 0, max(bix.shape[0] - 1, 0))
+                i_loc = a_rows[src]
+                k_col = bix[b_pos]
+                v = a_v[src] * bv[b_pos]
+                valid = e < total
+                if symmetric:
+                    valid = valid & (k_col >= i_loc + row0)
+                i_out = jnp.where(valid, i_loc, BIG)
+                k_out = jnp.where(valid, k_col, BIG)
+                v_out = jnp.where(valid, v, 0)
+                off = (s * e_step).astype(INDEX_DTYPE)
+                rows_buf = lax.dynamic_update_slice(rows_buf, i_out, (off,))
+                cols_buf = lax.dynamic_update_slice(cols_buf, k_out, (off,))
+                vals_buf = lax.dynamic_update_slice(vals_buf, v_out, (off,))
+                b_ip_n = lax.ppermute(b_ip_c, axis, perm)
+                b_ix_n = lax.ppermute(b_ix_c, axis, perm)
+                b_v_n = lax.ppermute(b_v_c, axis, perm)
+                return (b_ip_n, b_ix_n, b_v_n, rows_buf, cols_buf, vals_buf)
+
+            (_, _, _, rows_buf, cols_buf, vals_buf) = lax.fori_loop(
+                0,
+                s_count,
+                body,
+                (b_ip2, b_ix2, b_v2, rows_buf0, cols_buf0, vals_buf0),
+            )
+
+            # ---- sort (lexicographic on two int32 keys) + compress --------
+            r_s, c_s, v_s = lax.sort(
+                (rows_buf, cols_buf, vals_buf), dimension=0, num_keys=2
+            )
+            live = r_s != BIG
+            prev_r = jnp.concatenate([BIG[None], r_s[:-1]])
+            prev_c = jnp.concatenate([BIG[None], c_s[:-1]])
+            boundary = live & ((r_s != prev_r) | (c_s != prev_c))
+            out_idx = jnp.cumsum(boundary, dtype=INDEX_DTYPE) - 1
+            out_nnz = out_idx[-1] + 1
+            safe_idx = jnp.clip(out_idx, 0, cap_l - 1)
+            values = jnp.zeros(cap_l, v_s.dtype).at[safe_idx].add(
+                jnp.where(live, v_s, 0)
+            )
+            cols_out = jnp.zeros(cap_l, jnp.int32).at[safe_idx].max(
+                jnp.where(boundary, c_s, 0)
+            )
+            rows_out = jnp.zeros(cap_l, jnp.int32).at[safe_idx].max(
+                jnp.where(boundary, r_s, 0)
+            )
+            oslot = jnp.arange(cap_l, dtype=INDEX_DTYPE)
+            slot_live = oslot < out_nnz
+            indices = jnp.where(slot_live, cols_out, 0)
+            values = jnp.where(slot_live, values, 0)
+            counts = jnp.zeros(rows_pad, INDEX_DTYPE).at[
+                jnp.where(slot_live, rows_out, 0)
+            ].add(slot_live.astype(INDEX_DTYPE))
+            indptr = jnp.concatenate(
+                [jnp.zeros(1, INDEX_DTYPE), jnp.cumsum(counts, dtype=INDEX_DTYPE)]
+            )
+            return indptr[None], indices[None], values[None]
+
+        ip, ix, vv = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None),) * 6,
+            out_specs=(P(axis, None),) * 3,
+        )(a.indptrs, a.indices, a.values, b.indptrs, b.indices, b.values)
+        return ip, ix, vv
+
+    return fn
+
+
+def spgemm_csr_distributed_sparse(
+    a,
+    b,
+    mesh: Optional[Mesh] = None,
+    symmetric: bool = False,
+    balance: str = "flops",
+    expand_step_capacity: int | None = None,
+    shard_capacity: int | None = None,
+) -> ShardedCSR:
+    """Distributed SpGEMM with a SPARSE local contraction (large-sparse).
+
+    Nothing is ever densified: A/C stay row-sharded packed CSR, B blocks
+    ring-rotate as packed CSR arrays, and each shard runs an
+    expand-(lex)sort-compress pipeline over its accumulated partial
+    products.  This is the mesh engine for matrices that only exist as CSR
+    -- the regime where :func:`spgemm_csr_distributed`'s per-shard dense
+    panels would exceed HBM.
+
+    ``expand_step_capacity`` / ``shard_capacity`` are the two static
+    budgets (max partial products per ring step; per-shard output entries).
+    They are computed exactly on host when ``a``/``b`` arrive as scipy
+    matrices, and must be supplied when passing pre-placed
+    :class:`ShardedCSR` operands.
+    """
+    mesh = mesh or row_mesh()
+    s_count = mesh.devices.size
+    if not isinstance(a, ShardedCSR):
+        a_sp = _as_scipy(a)
+        b_sp = _as_scipy(b)
+        bounds = (
+            flop_shard_bounds(a_sp, b_sp, s_count)
+            if balance == "flops"
+            else _uniform_bounds(a_sp.shape[0], s_count)
+        )
+        if expand_step_capacity is None or shard_capacity is None:
+            e_max, tot_max = _expand_step_capacity(a_sp, b_sp, bounds, s_count)
+            if expand_step_capacity is None:
+                expand_step_capacity = bucket_capacity(e_max)
+            if shard_capacity is None:
+                shard_capacity = bucket_capacity(
+                    min(tot_max, a_sp.shape[0] * b_sp.shape[1])
+                )
+        a = shard_csr(a_sp, mesh, bounds=bounds)
+        b = _shard(b_sp, mesh)
+    else:
+        b = _shard(b, mesh)
+        if expand_step_capacity is None or shard_capacity is None:
+            raise ValueError(
+                "pre-placed ShardedCSR operands need explicit "
+                "expand_step_capacity and shard_capacity"
+            )
+    _check_operands(a, b)
+    fn = _spgemm_sparse_jit(
+        mesh, symmetric, int(expand_step_capacity), int(shard_capacity)
+    )
+    ip, ix, vv = fn(a, b)
+    return ShardedCSR(ip, ix, vv, (a.shape[0], b.shape[1]), a.bounds)
 
 
 # ---------------------------------------------------------------------------
