@@ -55,7 +55,11 @@ def main():
     cap = smm.bucket_capacity((N * N + N) // 2)
 
     def step(a, b):
-        c = spgemm_dense_out(a, b, symmetric=True)
+        # Explicit FAST: engages the double-bf16 split3 triu kernel (3 MXU
+        # passes).  Its |A|@|B|-relative error bound is tight for these
+        # non-negative uniform operands: measured max-rel ~3e-6, inside the
+        # reference oracle's rtol=1e-5 (see benchmarks/accuracy.py).
+        c = spgemm_dense_out(a, b, symmetric=True, precision="fast")
         csr = dense_to_csr_triu(c, cap)
         chk = (
             csr.indptr[-1].astype(jnp.float32)

@@ -165,7 +165,11 @@ def bench_config(n_rows: int, n_cols: int, density: float) -> list[dict]:
     # 1/2: sparse x sparse -> dense (nosym, sym)
     f_dense = jax.jit(lambda a, b: spgemm_dense_out(a, b).sum())
     record("dense_nosym", _time(f_dense, a, b), t_scipy_dense)
-    f_dsym = jax.jit(lambda a, b: spgemm_dense_out(a, b, symmetric=True).sum())
+    # Symmetric device rows request FAST explicitly (split3 triu kernel;
+    # measured max-rel ~3e-6 on these operands -- see benchmarks/accuracy.py).
+    f_dsym = jax.jit(
+        lambda a, b: spgemm_dense_out(a, b, symmetric=True, precision="fast").sum()
+    )
     record("dense_sym", _time(f_dsym, a, b), t_scipy_dense)
 
     # 3/4: sparse x sparse -> sparse CSR (nosym, sym)
@@ -178,7 +182,7 @@ def bench_config(n_rows: int, n_cols: int, density: float) -> list[dict]:
            {"nnz_c": int(c_sp.nnz)})
 
     def f_ssym(a, b):
-        c = spgemm_dense_out(a, b, symmetric=True)
+        c = spgemm_dense_out(a, b, symmetric=True, precision="fast")
         csr = dense_to_csr_triu(c, out_cap)
         return csr.indptr[-1].astype(jnp.float32) + jnp.sum(csr.values)
 

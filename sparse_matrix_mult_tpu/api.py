@@ -595,6 +595,16 @@ def multiply(
 
     Sparse output requires static capacities (XLA static shapes); see
     :func:`sparse_matrix_mult_tpu.ops.spgemm_jnp.spgemm_esc`.
+
+    .. note:: latency floor.  The sparse-output extraction kernels have a
+       fixed ~20 ms device-side latency (the ``lax.scan`` stitch of the
+       conversion kernels), which dominates problems with < ~1M output
+       elements: a 1000^2 d=0.01 product runs at 0.3-0.7x scipy
+       device-resident.  Small problems belong on the host path --
+       :func:`sparse_matrix_multiply` routes them there automatically;
+       this entry point deliberately never leaves the device (it is meant
+       to compose inside larger jitted programs where the result stays in
+       HBM).
     """
     if output_format == "dense":
         return spgemm_dense_out(a, b, symmetric=symmetric, precision=precision)
