@@ -256,6 +256,21 @@ def bench_config(n_rows: int, n_cols: int, density: float) -> list[dict]:
     return results
 
 
+def _hypersparse_random(m: int, n: int, nnz: int, seed: int):
+    """Uniform random CSR with ~nnz entries, O(nnz) construction.
+
+    ``scipy.sparse.random`` with a legacy seed materializes a full
+    permutation of m*n cells to sample without replacement -- 80 GB and
+    hours at 100k x 100k.  Sampling WITH replacement and summing the
+    handful of duplicates is equivalent for benchmarking.
+    """
+    rng = np.random.default_rng(seed)
+    r = rng.integers(0, m, size=nnz)
+    c = rng.integers(0, n, size=nnz)
+    v = rng.uniform(size=nnz)
+    return sp.coo_matrix((v, (r, c)), shape=(m, n)).tocsr()
+
+
 def bench_hypersparse() -> list[dict]:
     """ESC / chunked-ESC on device: the regime where the output is far too
     sparse for the dense path (VERDICT r2 item 4).  Reference analogue: the
@@ -269,8 +284,8 @@ def bench_hypersparse() -> list[dict]:
     """
     rows = []
     for n, density, expect in [(40_000, 2e-4, "esc"), (100_000, 1e-4, "esc_chunks")]:
-        A = sp.random(n, n, density=density, format="csr", random_state=11)
-        B = sp.random(n, n, density=density, format="csr", random_state=12)
+        A = _hypersparse_random(n, n, int(density * n * n), seed=11)
+        B = _hypersparse_random(n, n, int(density * n * n), seed=12)
         t0 = time.perf_counter()
         c_sp = A @ B
         t_scipy = time.perf_counter() - t0

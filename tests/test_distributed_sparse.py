@@ -105,8 +105,20 @@ def test_large_sparse_never_densifies(mesh):
     """
     S = mesh.devices.size
     m = k = n = 20_000
-    A = sp.random(m, k, density=5e-4, format="csr", random_state=28)
-    B = sp.random(k, n, density=5e-4, format="csr", random_state=29)
+
+    # O(nnz) operand construction: scipy.sparse.random with a legacy seed
+    # materializes a full m*n permutation (3.2 GB here) to sample without
+    # replacement; sampling with replacement is equivalent for this test.
+    def hyper(seed):
+        rng = np.random.default_rng(seed)
+        nnz = int(5e-4 * m * k)
+        return sp.coo_matrix(
+            (rng.uniform(size=nnz), (rng.integers(0, m, nnz), rng.integers(0, k, nnz))),
+            shape=(m, k),
+        ).tocsr()
+
+    A = hyper(28)
+    B = hyper(29)
     bounds = flop_shard_bounds(A, B, S)
     e_max, tot_max = _expand_step_capacity(A, B, bounds, S)
     e_step = bucket_capacity(e_max)
