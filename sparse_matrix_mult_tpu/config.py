@@ -125,6 +125,12 @@ class Config:
     zero_result_notice: bool = True
     # Default mesh axis name for distributed SpGEMM.
     mesh_axis: str = "rows"
+    # Per-device dense working-set budget for the distributed layer: when a
+    # shard's dense row panel (rows_pad x n x itemsize, A-panel + B-panel +
+    # C-panel) would exceed this, spgemm_csr_distributed auto-dispatches to
+    # the sparse local contraction (spgemm_csr_distributed_sparse) instead
+    # of densifying per shard.  4 GiB default (~1/4 of a v5e chip's HBM).
+    dense_shard_budget_bytes: int = 4 << 30
     # Force the pure-jnp fallback everywhere (debugging).
     force_reference_path: bool = False
 

@@ -428,8 +428,29 @@ def spgemm_csr_distributed(
     partial-product counts (:func:`flop_shard_bounds`) instead of row
     counts.  ``shard_capacity`` is the static per-shard entry budget
     (default: the dense row-block size, always sufficient).
+
+    When the per-shard dense working set (A panel + B block + C panel)
+    would exceed :attr:`Config.dense_shard_budget_bytes`, host-side
+    operands auto-dispatch to the sparse local contraction
+    (:func:`spgemm_csr_distributed_sparse`) -- the mesh then scales with
+    nnz, not with the dense panel size.
     """
     mesh = mesh or row_mesh()
+    if not isinstance(a, ShardedCSR):
+        from ..config import get_config
+
+        a_probe = _as_scipy(a)
+        s_count = mesh.devices.size
+        rows_pad = -(-a_probe.shape[0] // s_count)
+        kb = -(-a_probe.shape[1] // s_count)
+        n_cols = b.shape[1] if isinstance(b, ShardedCSR) else _as_scipy(b).shape[1]
+        itemsize = 8 if jax.config.jax_enable_x64 else 4
+        panel_bytes = (rows_pad + kb + rows_pad) * n_cols * itemsize
+        if panel_bytes > get_config().dense_shard_budget_bytes:
+            return spgemm_csr_distributed_sparse(
+                a_probe, b, mesh=mesh, symmetric=symmetric, balance=balance
+            )
+        a = a_probe
     if not isinstance(a, ShardedCSR) and balance == "flops":
         bounds = flop_shard_bounds(a, b, mesh.devices.size)
         a = shard_csr(a, mesh, bounds=bounds)

@@ -72,6 +72,38 @@ def test_sparse_ring_empty_shards(mesh):
     )
 
 
+def test_auto_dispatch_to_sparse_engine(mesh, monkeypatch):
+    """spgemm_csr_distributed hands off to the sparse engine when the dense
+    shard working set exceeds Config.dense_shard_budget_bytes."""
+    import sparse_matrix_mult_tpu.parallel.distributed as dist
+    from sparse_matrix_mult_tpu.config import get_config, set_config
+
+    A = sp.random(200, 200, density=0.05, format="csr", random_state=31)
+    B = sp.random(200, 200, density=0.05, format="csr", random_state=32)
+    calls = []
+    real = dist.spgemm_csr_distributed_sparse
+
+    def spy(*args, **kw):
+        calls.append(1)
+        return real(*args, **kw)
+
+    monkeypatch.setattr(dist, "spgemm_csr_distributed_sparse", spy)
+    old = get_config()
+    try:
+        set_config(dense_shard_budget_bytes=1 << 10)  # force handoff
+        out = dist.spgemm_csr_distributed(A, B, mesh=mesh)
+        assert calls, "sparse engine was not dispatched"
+        np.testing.assert_allclose(
+            out.to_scipy().toarray(), (A @ B).toarray(), rtol=1e-10, atol=1e-12
+        )
+        calls.clear()
+        set_config(dense_shard_budget_bytes=4 << 30)
+        out = dist.spgemm_csr_distributed(A, B, mesh=mesh)
+        assert not calls, "small problem should stay on the dense path"
+    finally:
+        set_config(old)
+
+
 def test_expand_step_capacity_exact(mesh):
     S = mesh.devices.size
     A = sp.random(100, 80, density=0.1, format="csr", random_state=26)
