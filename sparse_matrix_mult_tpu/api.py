@@ -145,6 +145,15 @@ def _dense_to_scipy_csr(a_sp, b_sp, symmetric: bool):
         return csr_matrix(np.asarray(c, dtype=np.float64))
 
     nnz = int(nnz_dev)  # one scalar fetch; decides the download format
+
+    if symmetric and m == n and nnz == m * (m + 1) // 2:
+        # Fully dense upper triangle: the structure is implied, so download
+        # ONLY the staircase-packed values (4 B per stored entry -- half the
+        # panel, a third of packed CSR) and rebuild indices on host.  Row
+        # counts can never exceed n-i on the symmetric path, so total
+        # nnz == sum(n-i) forces every row to be exactly full.
+        return _fetch_full_triu(c, nnz)
+
     panel_bytes = m * n * c.dtype.itemsize
     csr_bytes = (4 + c.dtype.itemsize) * fine_capacity(nnz)
     if panel_bytes < csr_bytes:
@@ -155,6 +164,34 @@ def _dense_to_scipy_csr(a_sp, b_sp, symmetric: bool):
     if out.dtype != np.float64:
         out = out.astype(np.float64)
     return out
+
+
+def _fetch_full_triu(c, nnz: int):
+    """Download a fully-dense upper-triangular product as values only.
+
+    Device: staircase extraction (the existing triu CSR pipeline), then the
+    values array alone crosses the link (fine-trimmed, chunked).  Host:
+    indices are reconstructed arithmetically (row i holds columns i..n-1).
+    """
+    from .types import _trim_to
+    from .utils.transfer import fetch_np, fine_capacity
+
+    m = c.shape[0]
+    csr = _extract_csr(c, bucket_capacity(nnz), symmetric=True)
+    indptr = np.asarray(csr.indptr)
+    assert int(indptr[-1]) == nnz
+    cap = csr.capacity
+    fine = min(fine_capacity(nnz), cap)
+    val_d = csr.values
+    if fine < cap:
+        _, val_d = _trim_to(csr.indices, csr.values, fine)
+    values = fetch_np(val_d)[:nnz].astype(np.float64)
+    counts = np.diff(indptr)
+    rows = np.repeat(np.arange(m, dtype=np.int64), counts)
+    indices = (
+        np.arange(nnz, dtype=np.int64) - np.repeat(indptr[:-1].astype(np.int64), counts) + rows
+    ).astype(np.int32)
+    return csr_matrix((values, indices, indptr), shape=(m, m))
 
 
 # ---------------------------------------------------------------------------

@@ -84,6 +84,14 @@ def spgemm_esc(
     big = jnp.array(jnp.iinfo(key_dtype).max, key_dtype)
 
     # ---- expand -----------------------------------------------------------
+    # Per-expansion-slot source info is propagated by a forward-fill
+    # associative scan instead of a searchsorted + per-slot gathers: TPU
+    # gathers with data-dependent indices run near-serially (measured
+    # ~5e6 elements/s), while the scan is a few full-bandwidth passes.
+    # Each A entry seeds its payload (row id, a value, B row start, slot
+    # start) at its expansion start offset -- distinct for every entry with
+    # a nonempty B row -- and the scan fills it forward across the entry's
+    # expansion range.  Only the two unavoidable B-side gathers remain.
     a_slot = jnp.arange(a.capacity, dtype=INDEX_DTYPE)
     a_valid = a_slot < a.nnz
     a_rows = a.row_ids()
@@ -94,13 +102,22 @@ def spgemm_esc(
     total = ends[-1] if a.capacity > 0 else jnp.zeros((), INDEX_DTYPE)
 
     e = jnp.arange(expand_capacity, dtype=INDEX_DTYPE)
-    src = jnp.searchsorted(ends, e, side="right").astype(INDEX_DTYPE)
-    src = jnp.clip(src, 0, max(a.capacity - 1, 0))
-    within = e - starts[src]
-    b_pos = b.indptr[a.indices[src]] + within
-    b_pos = jnp.clip(b_pos, 0, max(b.capacity - 1, 0))
+    live_entry = a_valid & (lens > 0)
+    seed_pos = jnp.where(live_entry, starts, expand_capacity)  # OOB -> dropped
+    zeros_e = jnp.zeros(expand_capacity, INDEX_DTYPE)
+    # Forward-fill by cummax: entry ids, row ids and start offsets are all
+    # nondecreasing in expansion position, so a native cumulative-max over
+    # scattered seeds propagates each live entry's values across its
+    # expansion range (cummax lowers to one XLA cumulative op -- unlike a
+    # pytree associative_scan, which unrolled into a program that took the
+    # remote compiler >20 min at 4M elements).
+    src = lax.cummax(zeros_e.at[seed_pos].set(a_slot, mode="drop"))
+    start_f = lax.cummax(zeros_e.at[seed_pos].set(starts, mode="drop"))
+    i = lax.cummax(zeros_e.at[seed_pos].set(a_rows, mode="drop"))
+    within = e - start_f
+    b_start = b.indptr[a.indices]  # (cap_a,) B row start per A entry
+    b_pos = jnp.clip(b_start[src] + within, 0, max(b.capacity - 1, 0))
 
-    i = a_rows[src]
     k = b.indices[b_pos]
     v = a.values[src] * b.values[b_pos]
 
