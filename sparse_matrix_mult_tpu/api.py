@@ -572,13 +572,32 @@ def sparse_matrix_multiply(
                 "Triple product requires B.cols == A.cols so that (A.B).A^T "
                 "is well defined."
             )
-        dtype, _ = _upload_dtype(matrix_a, matrix_b)
-        h = from_scipy(matrix_a, dtype=dtype)
-        q = from_scipy(matrix_b, dtype=dtype)
-        result = np.asarray(
-            triple_product_dense(h, q, compute_full_matrix), dtype=np.float64
-        )
-        _set_route("triple")
+        m = matrix_a.shape[0]
+        # Host route for small triple products: exact f64 via scipy, below
+        # both the device dispatch floor AND the f32 cancellation risk --
+        # mixed-sign operands can make FAST's f32 accumulation miss the
+        # reference oracle's rtol=1e-5 where |C| << |A||Q||A|, and tiny
+        # problems are where that matters most relative to cost (the
+        # sparse/dense outputs already route host down here).
+        expand = 2 * expansion_size(matrix_a.indices, matrix_a.nnz, matrix_b.indptr)
+        if expand <= get_config().host_compute_limit or _host_route_wins(
+            expand, matrix_a, matrix_b, out_bytes=8 * m * m
+        ):
+            t = matrix_a @ matrix_b
+            c = (t @ matrix_a.T).toarray()
+            upper = np.triu(c)
+            result = upper + np.triu(c, 1).T if compute_full_matrix else upper
+            _set_route("host")
+        else:
+            from .utils.transfer import fetch_np
+
+            dtype, _ = _upload_dtype(matrix_a, matrix_b)
+            h = from_scipy(matrix_a, dtype=dtype)
+            q = from_scipy(matrix_b, dtype=dtype)
+            result = fetch_np(
+                triple_product_dense(h, q, compute_full_matrix)
+            ).astype(np.float64)
+            _set_route("triple")
     elif output_format == "sparse":
         result = _sparse_out_host(matrix_a, matrix_b, symmetric)
     elif output_format == "dense":

@@ -66,9 +66,18 @@ def test_dense_pack_edge_cases():
 
 def test_to_scipy_fine_trim_roundtrip():
     # nnz chosen so the power-of-two capacity has ~2x slack and the fine
-    # bucket engages (> 4 MB saving needs big arrays; force small threshold
-    # by checking exactness only -- the trim path is shape logic, exercised
-    # regardless of the byte gate on CPU via direct call).
+    # bucket engages.  Structure must round-trip exactly everywhere; values
+    # are bit-exact on CPU but the tunneled TPU backend stores f64 as a
+    # double-f32 pair (~1e-16 relative on plain upload/download, measured),
+    # so values are compared at that tolerance.
+    import jax
+
     m = sp.random(2000, 2000, density=0.14, format="csr", random_state=3)
     rt = to_scipy(from_scipy(m))
-    assert (rt != m.astype(rt.dtype)).nnz == 0
+    assert rt.nnz == m.nnz
+    np.testing.assert_array_equal(rt.indptr, m.indptr)
+    np.testing.assert_array_equal(rt.indices, m.indices)
+    if jax.default_backend() == "cpu":
+        np.testing.assert_array_equal(rt.data, m.data.astype(rt.dtype))
+    else:
+        np.testing.assert_allclose(rt.data, m.data, rtol=1e-14, atol=0)
