@@ -309,14 +309,17 @@ def _sparse_out_chunked_esc(a_sp, b_sp, symmetric: bool):
     max_rows = max(min(max_rows_pad, m), 1)
     bounds = _flop_chunk_bounds(flops, cfg.esc_expand_limit, max_rows)
 
-    b = from_scipy(b_sp)
+    # Policy dtype (f32 under FAST): f64 would run the whole device
+    # sort/gather pipeline in emulated arithmetic; stitch_csr returns f64.
+    dtype, _ = _upload_dtype(a_sp, b_sp)
+    b = from_scipy(b_sp, dtype=dtype)
     csum = np.concatenate([[0], np.cumsum(flops, dtype=np.int64)])
     parts = []
     for start, stop in zip(bounds[:-1], bounds[1:]):
         rows_c = stop - start
         rows_pad = min(bucket_capacity(rows_c, minimum=1), max_rows_pad)
         expand = int(csum[stop] - csum[start])
-        a_chunk = _chunk_rows_padded(a_sp, start, stop, rows_pad)
+        a_chunk = _chunk_rows_padded(a_sp, start, stop, rows_pad, dtype=dtype)
         out_cap = bucket_capacity(max(min(expand, rows_pad * n), 1))
         c = spgemm_esc(
             a_chunk,
@@ -327,7 +330,10 @@ def _sparse_out_chunked_esc(a_sp, b_sp, symmetric: bool):
             row_offset=jnp.int32(start),
         )
         parts.append(to_scipy(c)[:rows_c])
-    return stitch_csr(parts, m, n)
+    out = stitch_csr(parts, m, n)
+    if out.dtype != np.float64:  # numpy-fallback stitch keeps f32
+        out = out.astype(np.float64)
+    return out
 
 
 def _sparse_out_chunked_dense(a_sp, b_sp, symmetric: bool):
@@ -476,9 +482,12 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
         return _dense_to_scipy_csr(a_sp, b_sp, symmetric)
     if expand <= get_config().esc_expand_limit and m * n < 2**31:
         # Expansion-sort: exact structure (keeps Gustavson's structural
-        # zeros), capacities exact-then-bucketed.
-        a = from_scipy(a_sp)
-        b = from_scipy(b_sp)
+        # zeros), capacities exact-then-bucketed.  Upload in the resolved
+        # policy dtype -- f64 would run the whole sort/gather pipeline in
+        # emulated arithmetic on TPU.
+        dtype, _ = _upload_dtype(a_sp, b_sp)
+        a = from_scipy(a_sp, dtype=dtype)
+        b = from_scipy(b_sp, dtype=dtype)
         out_cap = bucket_capacity(min(expand, m * n))
         c = spgemm_esc(
             a,
@@ -488,7 +497,10 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
             symmetric=symmetric,
         )
         _set_route("esc")
-        return to_scipy(c)
+        out = to_scipy(c)
+        if out.dtype != np.float64:
+            out = out.astype(np.float64)
+        return out
 
     if dense_path_fits((k, n)):
         out = _sparse_out_chunked_dense(a_sp, b_sp, symmetric)
