@@ -470,10 +470,14 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
     n = b_sp.shape[1]
 
     expand = expansion_size(a_sp.indices, a_sp.nnz, b_sp.indptr)
-    if (
-        expand <= get_config().host_compute_limit
-        or _host_route_wins(expand, a_sp, b_sp)
-    ) and not _bsr_route_ok(a_sp):
+    # Tiny problems skip even the BSR occupancy scan (O(nnz) host work that
+    # costs a third of the whole multiply at 1000^2 d=0.01): below the hard
+    # limit nothing beats the host kernel anyway.  force_pallas_bsr (tests)
+    # still wins over the shortcut.
+    cfg = get_config()
+    if (expand <= cfg.host_compute_limit and not cfg.force_pallas_bsr) or (
+        _host_route_wins(expand, a_sp, b_sp) and not _bsr_route_ok(a_sp)
+    ):
         out = spgemm_host(a_sp, b_sp, symmetric, n_partials=expand)
         _set_route("host")
         return out
@@ -616,10 +620,10 @@ def sparse_matrix_multiply(
         cfg = get_config()
         expand = expansion_size(matrix_a.indices, matrix_a.nnz, matrix_b.indptr)
         out_elems = matrix_a.shape[0] * matrix_b.shape[1]
-        if (
-            expand <= cfg.host_compute_limit
-            or _host_route_wins(expand, matrix_a, matrix_b, out_bytes=4 * out_elems)
-        ) and not _bsr_route_ok(matrix_a):
+        if (expand <= cfg.host_compute_limit and not cfg.force_pallas_bsr) or (
+            _host_route_wins(expand, matrix_a, matrix_b, out_bytes=4 * out_elems)
+            and not _bsr_route_ok(matrix_a)
+        ):
             result = spgemm_host(matrix_a, matrix_b, symmetric, n_partials=expand).toarray()
             _set_route("host")
         elif _bsr_route_ok(matrix_a):

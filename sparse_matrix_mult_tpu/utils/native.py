@@ -329,15 +329,17 @@ def spgemm_host(a_sp, b_sp, symmetric: bool = False, n_partials: int | None = No
         n_partials = expansion_size(a_sp.indices, a_sp.nnz, b_sp.indptr)
 
     lib = get_native()
-    # Below ~1M partial products scipy's serial SMMP is the fastest host
-    # engine (its inner loop runs ~3x tighter than ours and threads cannot
-    # amortize); the OpenMP two-phase kernel takes over above, where it
-    # measures 1.45x scipy at 500^2 d=0.3 and 1.95x at 10k^2 d=0.1 on two
-    # cores.  The route is "best host engine per size", not one kernel.
+    # Engine choice by size (measured on this 2-core host WITH the
+    # sorted-indices contract): scipy's serial SMMP + sort_indices wins
+    # only below ~2e4 partial products (the sort is 60% of its cost and
+    # grows faster than the multiply); the OpenMP two-phase kernel emits
+    # sorted rows natively and runs 1.6-3.0x faster everywhere above
+    # (e.g. 1000^2 d=0.01: 1.5 ms vs 3.4 ms; 2000^2 d=0.05: 117 ms vs
+    # 350 ms).  The route is "best host engine per size", not one kernel.
     if (
         lib is None
         or getattr(lib, "smm_spgemm_count", None) is None
-        or n_partials < (1 << 20)
+        or n_partials < (1 << 14)
     ):
         out = (a_sp @ b_sp).tocsr()
         # scipy's matmul leaves per-row column order unsorted; the native
@@ -355,7 +357,7 @@ def spgemm_host(a_sp, b_sp, symmetric: bool = False, n_partials: int | None = No
     b_indices = np.ascontiguousarray(b_sp.indices, np.int32)
     b_values = np.ascontiguousarray(b_sp.data, np.float64)
 
-    parallel = 1  # the scipy branch above owns everything below 1M partials
+    parallel = 1  # the scipy branch above owns everything below 16k partials
     counts = np.empty(m, np.int32)
     lib.smm_spgemm_count(
         m, n, _ptr(a_indptr, _I32), _ptr(a_indices, _I32),
