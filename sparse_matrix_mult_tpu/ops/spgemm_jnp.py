@@ -7,13 +7,22 @@ data-dependent scatter loops map onto XLA/TPU.  The TPU-native formulation is
 **ESC (expand-sort-compress)**:
 
 1. *Expand*  -- materialize every partial product ``A(i,j) * B(j,k)`` as a
-   ``(key=i*cols+k, value)`` pair, fully vectorized via ``searchsorted`` over
-   the expansion offsets (no per-row loops).
+   ``(key=i*cols+k, value)`` pair.  TPU-tuned: the source-entry id per
+   expansion slot comes from a ``lax.cummax`` forward-fill over scattered
+   seeds (entry ids are monotone in expansion position), and all per-entry
+   fields ride ONE packed multi-column row gather -- a (N, 2..4) row gather
+   costs the same as a single-column one on TPU (measured 42 ms vs 64 ms
+   per column at 4M), while data-dependent gathers are the dominant cost
+   of any sparse kernel on this hardware.
 2. *Sort*    -- one device-wide key sort (``lax.sort_key_val``).
 3. *Compress*-- segment boundaries -> ``cumsum`` -> scatter-add duplicates into
-   the output slot of their key.  This replaces both the per-thread partials
-   and the serial stitch of the reference orchestrators
+   the output slot of their key; row pointers by binary search over the
+   (row-major sorted) output rows.  This replaces both the per-thread
+   partials and the serial stitch of the reference orchestrators
    (``sparse_sparse_sparse.cpp:90-150``) with one device-side prefix sum.
+
+v5e, 40k x 40k hypersparse (2.56M partials): 1.47 s (searchsorted + six
+separate gathers) -> 0.23 s (this formulation), exact structure either way.
 
 Everything is static-shape: callers supply ``expand_capacity`` (>= total
 partial products) and ``out_capacity`` (>= nnz(C)); the host API computes
@@ -105,21 +114,45 @@ def spgemm_esc(
     live_entry = a_valid & (lens > 0)
     seed_pos = jnp.where(live_entry, starts, expand_capacity)  # OOB -> dropped
     zeros_e = jnp.zeros(expand_capacity, INDEX_DTYPE)
-    # Forward-fill by cummax: entry ids, row ids and start offsets are all
-    # nondecreasing in expansion position, so a native cumulative-max over
-    # scattered seeds propagates each live entry's values across its
-    # expansion range (cummax lowers to one XLA cumulative op -- unlike a
-    # pytree associative_scan, which unrolled into a program that took the
-    # remote compiler >20 min at 4M elements).
+    # Forward-fill by cummax: entry ids are nondecreasing in expansion
+    # position, so a native cumulative-max over scattered seeds propagates
+    # each live entry's id across its expansion range (one XLA cumulative
+    # op -- a pytree associative_scan variant unrolled into a program that
+    # took the remote compiler >20 min at 4M elements; cummax compiles in
+    # seconds).
     src = lax.cummax(zeros_e.at[seed_pos].set(a_slot, mode="drop"))
-    start_f = lax.cummax(zeros_e.at[seed_pos].set(starts, mode="drop"))
-    i = lax.cummax(zeros_e.at[seed_pos].set(a_rows, mode="drop"))
-    within = e - start_f
     b_start = b.indptr[a.indices]  # (cap_a,) B row start per A entry
-    b_pos = jnp.clip(b_start[src] + within, 0, max(b.capacity - 1, 0))
-
-    k = b.indices[b_pos]
-    v = a.values[src] * b.values[b_pos]
+    f32 = a.values.dtype == jnp.float32 and b.values.dtype == jnp.float32
+    if f32:
+        # Pack all per-entry fields into one (cap_a, 4) i32 table: a single
+        # multi-column row gather costs the same as a one-column gather on
+        # TPU (measured 42 ms for (4M,2..4) vs 64 ms per separate gather),
+        # so this replaces three expansion-sized gathers with none.
+        a_pack = jnp.stack(
+            [
+                b_start,
+                lax.bitcast_convert_type(a.values, jnp.int32),
+                starts,
+                a_rows,
+            ],
+            axis=1,
+        )
+        ga = a_pack[src]
+        bp0, av_bits, start_f, i = ga[:, 0], ga[:, 1], ga[:, 2], ga[:, 3]
+        av = lax.bitcast_convert_type(av_bits, jnp.float32)
+        b_pos = jnp.clip(bp0 + (e - start_f), 0, max(b.capacity - 1, 0))
+        b_pack = jnp.stack(
+            [b.indices, lax.bitcast_convert_type(b.values, jnp.int32)], axis=1
+        )
+        gb = b_pack[b_pos]
+        k = gb[:, 0]
+        v = av * lax.bitcast_convert_type(gb[:, 1], jnp.float32)
+    else:
+        start_f = lax.cummax(zeros_e.at[seed_pos].set(starts, mode="drop"))
+        i = lax.cummax(zeros_e.at[seed_pos].set(a_rows, mode="drop"))
+        b_pos = jnp.clip(b_start[src] + (e - start_f), 0, max(b.capacity - 1, 0))
+        k = b.indices[b_pos]
+        v = a.values[src] * b.values[b_pos]
 
     valid = e < total
     if symmetric:
@@ -152,11 +185,12 @@ def spgemm_esc(
     indices = jnp.where(slot_live, (keys_out % cols).astype(INDEX_DTYPE), 0)
     values = jnp.where(slot_live, values, 0)
 
-    out_row = jnp.where(slot_live, (keys_out // cols).astype(INDEX_DTYPE), 0)
-    counts = jnp.zeros(rows, INDEX_DTYPE).at[out_row].add(
-        slot_live.astype(INDEX_DTYPE)
-    )
-    indptr = jnp.concatenate(
-        [jnp.zeros(1, INDEX_DTYPE), jnp.cumsum(counts, dtype=INDEX_DTYPE)]
-    )
+    # Output slots are ordered by key (= row-major), so rows are sorted and
+    # the row pointers fall out of a binary search -- no output-sized
+    # scatter (55 ms at 4M slots on v5e; searchsorted is rows*log(cap)).
+    out_row = (keys_out // cols).astype(INDEX_DTYPE)
+    row_sorted = jnp.where(slot_live, out_row, rows)
+    indptr = jnp.searchsorted(
+        row_sorted, jnp.arange(rows + 1, dtype=INDEX_DTYPE), side="left"
+    ).astype(INDEX_DTYPE)
     return CSRMatrix(indptr=indptr, indices=indices, values=values, shape=(rows, cols))

@@ -543,6 +543,8 @@ def _spgemm_sparse_jit(
 
             perm = [(i, (i - 1) % s_count) for i in range(s_count)]
             e = jnp.arange(e_step, dtype=INDEX_DTYPE)
+            zeros_e = jnp.zeros(e_step, INDEX_DTYPE)
+            f32 = val_dtype == jnp.float32
 
             rows_buf0 = jnp.full((s_count * e_step,), BIG, jnp.int32)
             cols_buf0 = jnp.full((s_count * e_step,), BIG, jnp.int32)
@@ -562,19 +564,43 @@ def _spgemm_sparse_jit(
                 a_col_loc = a_ix - col0
                 in_blk = a_live & (a_col_loc >= 0) & (a_col_loc < kb)
                 safe_col = jnp.clip(a_col_loc, 0, kb - 1)
-                lens = jnp.where(in_blk, bip[safe_col + 1] - bip[safe_col], 0)
+                bp0_entry = bip[safe_col]
+                lens = jnp.where(in_blk, bip[safe_col + 1] - bp0_entry, 0)
                 ends = jnp.cumsum(lens, dtype=INDEX_DTYPE)
                 starts = ends - lens
                 total = ends[-1] if cap_a > 0 else jnp.zeros((), INDEX_DTYPE)
-                # ESC expand into this step's static segment.
-                src = jnp.searchsorted(ends, e, side="right").astype(INDEX_DTYPE)
-                src = jnp.clip(src, 0, max(cap_a - 1, 0))
-                within = e - starts[src]
-                b_pos = bip[jnp.clip(a_col_loc[src], 0, kb - 1)] + within
-                b_pos = jnp.clip(b_pos, 0, max(bix.shape[0] - 1, 0))
-                i_loc = a_rows[src]
-                k_col = bix[b_pos]
-                v = a_v[src] * bv[b_pos]
+                # ESC expand into this step's static segment (cummax
+                # forward-fill + packed gathers; see ops/spgemm_jnp.py).
+                live_entry = in_blk & (lens > 0)
+                seed_pos = jnp.where(live_entry, starts, e_step)
+                src = lax.cummax(zeros_e.at[seed_pos].set(slot, mode="drop"))
+                cap_b = max(bix.shape[0] - 1, 0)
+                if f32:
+                    a_pack = jnp.stack(
+                        [
+                            bp0_entry,
+                            lax.bitcast_convert_type(a_v, jnp.int32),
+                            starts,
+                            a_rows,
+                        ],
+                        axis=1,
+                    )
+                    ga = a_pack[src]
+                    b_pos = jnp.clip(ga[:, 0] + (e - ga[:, 2]), 0, cap_b)
+                    i_loc = ga[:, 3]
+                    av = lax.bitcast_convert_type(ga[:, 1], jnp.float32)
+                    b_pack = jnp.stack(
+                        [bix, lax.bitcast_convert_type(bv, jnp.int32)], axis=1
+                    )
+                    gb = b_pack[b_pos]
+                    k_col = gb[:, 0]
+                    v = av * lax.bitcast_convert_type(gb[:, 1], jnp.float32)
+                else:
+                    start_f = lax.cummax(zeros_e.at[seed_pos].set(starts, mode="drop"))
+                    i_loc = lax.cummax(zeros_e.at[seed_pos].set(a_rows, mode="drop"))
+                    b_pos = jnp.clip(bp0_entry[src] + (e - start_f), 0, cap_b)
+                    k_col = bix[b_pos]
+                    v = a_v[src] * bv[b_pos]
                 valid = e < total
                 if symmetric:
                     valid = valid & (k_col >= i_loc + row0)
@@ -621,12 +647,14 @@ def _spgemm_sparse_jit(
             slot_live = oslot < out_nnz
             indices = jnp.where(slot_live, cols_out, 0)
             values = jnp.where(slot_live, values, 0)
-            counts = jnp.zeros(rows_pad, INDEX_DTYPE).at[
-                jnp.where(slot_live, rows_out, 0)
-            ].add(slot_live.astype(INDEX_DTYPE))
-            indptr = jnp.concatenate(
-                [jnp.zeros(1, INDEX_DTYPE), jnp.cumsum(counts, dtype=INDEX_DTYPE)]
-            )
+            # Slots are (row, col)-sorted: row pointers by binary search,
+            # no output-sized scatter.
+            row_sorted = jnp.where(slot_live, rows_out, rows_pad)
+            indptr = jnp.searchsorted(
+                row_sorted,
+                jnp.arange(rows_pad + 1, dtype=INDEX_DTYPE),
+                side="left",
+            ).astype(INDEX_DTYPE)
             return indptr[None], indices[None], values[None]
 
         ip, ix, vv = shard_map(
