@@ -87,6 +87,20 @@ def main():
             (big_a @ big_b).toarray(),
         )
 
+        # Large-sparse engine: identical result, but nothing is ever
+        # densified -- B blocks ring-rotate as packed CSR (the engine for
+        # matrices whose dense shard panels would not fit HBM).
+        from sparse_matrix_mult_tpu.parallel.distributed import (
+            spgemm_csr_distributed_sparse,
+        )
+
+        sh2 = spgemm_csr_distributed_sparse(big_a, big_b, mesh=mesh)
+        check(
+            "distributed sparse-local-contraction product",
+            sh2.to_scipy().toarray(),
+            (big_a @ big_b).toarray(),
+        )
+
     # Linear-inversion model: the reference's motivating workload, assembled.
     from sparse_matrix_mult_tpu.models.inversion import invert
 
