@@ -63,7 +63,9 @@ def main():
     # staircase (upper-triangle-only) extraction to packed CSR.  Checksummed
     # so the timing loop provably executes everything each iteration (the
     # tunneled device can report buffers ready before execution otherwise).
-    cap = smm.bucket_capacity((N * N + N) // 2)
+    from sparse_matrix_mult_tpu.utils.transfer import fine_capacity as _fine
+
+    cap = _fine((N * N + N) // 2)
 
     def step(a, b):
         # Explicit FAST: engages the double-bf16 split3 triu kernel (3 MXU
