@@ -64,6 +64,40 @@ def test_dense_pack_edge_cases():
         assert got.dtype == np.float64
 
 
+def test_api_full_triu_values_only_download():
+    """Symmetric products that are 100% dense in the upper triangle take
+    the values-only staircase download (indices rebuilt on host)."""
+    import scipy.sparse as sp
+
+    import sparse_matrix_mult_tpu as smm
+    from sparse_matrix_mult_tpu.config import get_config, set_config
+
+    n = 2100  # n*n > host_extract_limit so the small-panel path stays off
+    A = sp.random(n, n, density=0.35, format="csr", random_state=41)
+    B = sp.random(n, n, density=0.35, format="csr", random_state=42)
+    old = get_config()
+    set_config(
+        auto_calibrate_link=False,
+        link_fixed_s=1e-5,
+        link_up_bytes_per_s=8e9,
+        link_down_bytes_per_s=8e9,
+        host_rate_base=1e3,  # force the device route
+        host_compute_limit=0,
+        use_bsr=False,
+    )
+    try:
+        got = smm.sparse_matrix_multiply(A, B, symmetric=True)
+        assert smm.get_last_route() == "dense"
+        ref = sp.triu(A @ B).tocsr()
+        assert got.nnz == ref.nnz == n * (n + 1) // 2  # fully dense triu
+        ref.sort_indices()
+        np.testing.assert_array_equal(got.indptr, ref.indptr)
+        np.testing.assert_array_equal(got.indices, ref.indices)
+        np.testing.assert_allclose(got.data, ref.data, rtol=1e-5, atol=1e-8)
+    finally:
+        set_config(old)
+
+
 def test_to_scipy_fine_trim_roundtrip():
     # nnz chosen so the power-of-two capacity has ~2x slack and the fine
     # bucket engages.  Structure must round-trip exactly everywhere; values
