@@ -303,11 +303,9 @@ def _sparse_out_chunked_esc(a_sp, b_sp, symmetric: bool):
     n = b_sp.shape[1]
     cfg = get_config()
     flops = row_flops(a_sp.indptr, a_sp.indices, b_sp.indptr)
-    # int32 ESC keys need rows_pad * n < 2**31; rows_pad is the power-of-two
-    # bucket of the chunk row count.
-    max_rows_pad = 1 << max(int((2**31 - 1) // max(n, 1)).bit_length() - 1, 0)
-    max_rows = max(min(max_rows_pad, m), 1)
-    bounds = _flop_chunk_bounds(flops, cfg.esc_expand_limit, max_rows)
+    # Chunk size is bounded by the flop budget alone: the two-key (row,
+    # col) ESC sort removed the old int32-key rows_pad * n < 2**31 cap.
+    bounds = _flop_chunk_bounds(flops, cfg.esc_expand_limit, m)
 
     # Policy dtype (f32 under FAST): f64 would run the whole device
     # sort/gather pipeline in emulated arithmetic; stitch_csr returns f64.
@@ -317,7 +315,7 @@ def _sparse_out_chunked_esc(a_sp, b_sp, symmetric: bool):
     parts = []
     for start, stop in zip(bounds[:-1], bounds[1:]):
         rows_c = stop - start
-        rows_pad = min(bucket_capacity(rows_c, minimum=1), max_rows_pad)
+        rows_pad = min(bucket_capacity(rows_c, minimum=1), bucket_capacity(m, minimum=1))
         expand = int(csum[stop] - csum[start])
         a_chunk = _chunk_rows_padded(a_sp, start, stop, rows_pad, dtype=dtype)
         out_cap = bucket_capacity(max(min(expand, rows_pad * n), 1))
@@ -484,11 +482,12 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
 
     if dense_path_fits((m, k), (k, n), (m, n)):
         return _dense_to_scipy_csr(a_sp, b_sp, symmetric)
-    if expand <= get_config().esc_expand_limit and m * n < 2**31:
+    if expand <= get_config().esc_expand_limit:
         # Expansion-sort: exact structure (keeps Gustavson's structural
-        # zeros), capacities exact-then-bucketed.  Upload in the resolved
-        # policy dtype -- f64 would run the whole sort/gather pipeline in
-        # emulated arithmetic on TPU.
+        # zeros), capacities exact-then-bucketed; the two-key (row, col)
+        # sort has no m*n size limit.  Upload in the resolved policy dtype
+        # -- f64 would run the whole sort/gather pipeline in emulated
+        # arithmetic on TPU.
         dtype, _ = _upload_dtype(a_sp, b_sp)
         a = from_scipy(a_sp, dtype=dtype)
         b = from_scipy(b_sp, dtype=dtype)

@@ -80,17 +80,10 @@ def spgemm_esc(
     rows, _ = a.shape
     _, cols = b.shape
 
-    # Key dtype: i*cols + k must not overflow.
-    if rows * cols < 2**31:
-        key_dtype = jnp.int32
-    else:
-        if not jax.config.jax_enable_x64:
-            raise ValueError(
-                "output space exceeds int32 keys; enable x64 or use the "
-                "block-sparse kernel path"
-            )
-        key_dtype = jnp.int64
-    big = jnp.array(jnp.iinfo(key_dtype).max, key_dtype)
+    # Two-key (row, col) lexicographic sort: int32 everywhere, no
+    # ``rows * cols < 2**31`` limit (the old single int32 ``i*cols + k``
+    # key overflowed past that; int64 keys needed x64).
+    big = jnp.array(jnp.iinfo(jnp.int32).max, jnp.int32)
 
     # ---- expand -----------------------------------------------------------
     # Per-expansion-slot source info is propagated by a forward-fill
@@ -157,19 +150,30 @@ def spgemm_esc(
     valid = e < total
     if symmetric:
         valid = valid & (k >= i + jnp.asarray(row_offset, INDEX_DTYPE))
-    key = jnp.where(
-        valid,
-        i.astype(key_dtype) * cols + k.astype(key_dtype),
-        big,
-    )
 
-    # ---- sort -------------------------------------------------------------
-    key_sorted, v_sorted = lax.sort_key_val(key, v)
+    # ---- sort + segment boundaries ----------------------------------------
+    fused = rows * cols < 2**31
+    if fused:
+        # Fused int32 key: one sort_key_val + ONE key scatter (fastest
+        # path; measured 0.23 s vs 0.37 s for the two-key variant at 4M on
+        # v5e -- unlike gathers, multi-column scatters do NOT amortize).
+        key = jnp.where(valid, i * cols + k, big)
+        key_sorted, v_sorted = lax.sort_key_val(key, v)
+        live = key_sorted != big
+        prev = jnp.concatenate([big[None], key_sorted[:-1]])
+        boundary = live & (key_sorted != prev)
+    else:
+        # Output space exceeds int32: lexicographic sort on two int32 keys
+        # (no x64, no size limit).
+        i_key = jnp.where(valid, i, big)
+        k_key = jnp.where(valid, k, big)
+        i_s, k_s, v_sorted = lax.sort((i_key, k_key, v), dimension=0, num_keys=2)
+        live = i_s != big
+        prev_i = jnp.concatenate([big[None], i_s[:-1]])
+        prev_k = jnp.concatenate([big[None], k_s[:-1]])
+        boundary = live & ((i_s != prev_i) | (k_s != prev_k))
 
     # ---- compress ----------------------------------------------------------
-    prev = jnp.concatenate([big[None], key_sorted[:-1]])
-    live = key_sorted != big
-    boundary = live & (key_sorted != prev)
     out_idx = jnp.cumsum(boundary, dtype=INDEX_DTYPE) - 1
     out_nnz = out_idx[-1] + 1 if expand_capacity > 0 else jnp.zeros((), INDEX_DTYPE)
 
@@ -177,19 +181,28 @@ def spgemm_esc(
     values = jnp.zeros(out_capacity, v.dtype).at[safe_idx].add(
         jnp.where(live, v_sorted, 0)
     )
-    keys_out = jnp.zeros(out_capacity, key_dtype).at[safe_idx].max(
-        jnp.where(boundary, key_sorted, 0)
-    )
+    if fused:
+        keys_out = jnp.zeros(out_capacity, jnp.int32).at[safe_idx].max(
+            jnp.where(boundary, key_sorted, 0)
+        )
+        rows_out = keys_out // cols
+        cols_out = keys_out % cols
+    else:
+        rc = jnp.stack(
+            [jnp.where(boundary, i_s, 0), jnp.where(boundary, k_s, 0)], axis=1
+        )
+        rc_out = jnp.zeros((out_capacity, 2), jnp.int32).at[safe_idx].max(rc)
+        rows_out = rc_out[:, 0]
+        cols_out = rc_out[:, 1]
     out_slot = jnp.arange(out_capacity, dtype=INDEX_DTYPE)
     slot_live = out_slot < out_nnz
-    indices = jnp.where(slot_live, (keys_out % cols).astype(INDEX_DTYPE), 0)
+    indices = jnp.where(slot_live, cols_out, 0)
     values = jnp.where(slot_live, values, 0)
 
-    # Output slots are ordered by key (= row-major), so rows are sorted and
-    # the row pointers fall out of a binary search -- no output-sized
-    # scatter (55 ms at 4M slots on v5e; searchsorted is rows*log(cap)).
-    out_row = (keys_out // cols).astype(INDEX_DTYPE)
-    row_sorted = jnp.where(slot_live, out_row, rows)
+    # Output slots are (row, col)-ordered, so rows are sorted and the row
+    # pointers fall out of a binary search -- no output-sized scatter
+    # (55 ms at 4M slots on v5e; searchsorted is rows*log(cap)).
+    row_sorted = jnp.where(slot_live, rows_out, rows)
     indptr = jnp.searchsorted(
         row_sorted, jnp.arange(rows + 1, dtype=INDEX_DTYPE), side="left"
     ).astype(INDEX_DTYPE)

@@ -151,3 +151,36 @@ def test_100k_hypersparse():
     if diff.nnz:
         ref_at = np.asarray(ref[diff.row, diff.col]).ravel()
         np.testing.assert_allclose(diff.data, 0, atol=1e-8 + 1e-5 * np.abs(ref_at))
+
+
+def test_esc_output_space_beyond_int32():
+    """m*n > 2**31 takes the two-key (row, col) sort branch of spgemm_esc:
+    no x64 requirement, no fused-key overflow."""
+    import scipy.sparse as sp
+
+    from sparse_matrix_mult_tpu.ops.spgemm_jnp import spgemm_esc
+    from sparse_matrix_mult_tpu.types import bucket_capacity, from_scipy, to_scipy
+    from sparse_matrix_mult_tpu.utils.native import expansion_size
+
+    m = n = 50_000  # m*n = 2.5e9 > 2**31
+    rng = np.random.default_rng(61)
+    nnz = 3000
+    def mk(seed_off):
+        r = np.random.default_rng(61 + seed_off)
+        return sp.coo_matrix(
+            (r.uniform(size=nnz), (r.integers(0, m, nnz), r.integers(0, n, nnz))),
+            shape=(m, n),
+        ).tocsr()
+
+    A, B = mk(0), mk(1)
+    exp = max(int(expansion_size(A.indices, A.nnz, B.indptr)), 1)
+    c = spgemm_esc(
+        from_scipy(A),
+        from_scipy(B),
+        expand_capacity=bucket_capacity(exp),
+        out_capacity=bucket_capacity(exp),
+    )
+    got = to_scipy(c)
+    ref = A @ B
+    assert got.nnz == ref.nnz
+    assert abs(got - ref).max() < 1e-10
