@@ -623,26 +623,45 @@ def _spgemm_sparse_jit(
                 (b_ip2, b_ix2, b_v2, rows_buf0, cols_buf0, vals_buf0),
             )
 
-            # ---- sort (lexicographic on two int32 keys) + compress --------
-            r_s, c_s, v_s = lax.sort(
-                (rows_buf, cols_buf, vals_buf), dimension=0, num_keys=2
-            )
-            live = r_s != BIG
-            prev_r = jnp.concatenate([BIG[None], r_s[:-1]])
-            prev_c = jnp.concatenate([BIG[None], c_s[:-1]])
-            boundary = live & ((r_s != prev_r) | (c_s != prev_c))
+            # ---- sort + compress ------------------------------------------
+            # Fused int32 key when the LOCAL output space fits (one
+            # sort_key_val + one key scatter, ~1.6x the two-key variant);
+            # lexicographic two-key sort otherwise (no size limit).
+            if rows_pad * n < 2**31:
+                key = jnp.where(
+                    rows_buf != BIG, rows_buf * n + cols_buf, BIG
+                )
+                key_s, v_s = lax.sort_key_val(key, vals_buf)
+                live = key_s != BIG
+                prev = jnp.concatenate([BIG[None], key_s[:-1]])
+                boundary = live & (key_s != prev)
+            else:
+                r_s, c_s, v_s = lax.sort(
+                    (rows_buf, cols_buf, vals_buf), dimension=0, num_keys=2
+                )
+                live = r_s != BIG
+                prev_r = jnp.concatenate([BIG[None], r_s[:-1]])
+                prev_c = jnp.concatenate([BIG[None], c_s[:-1]])
+                boundary = live & ((r_s != prev_r) | (c_s != prev_c))
             out_idx = jnp.cumsum(boundary, dtype=INDEX_DTYPE) - 1
             out_nnz = out_idx[-1] + 1
             safe_idx = jnp.clip(out_idx, 0, cap_l - 1)
             values = jnp.zeros(cap_l, v_s.dtype).at[safe_idx].add(
                 jnp.where(live, v_s, 0)
             )
-            cols_out = jnp.zeros(cap_l, jnp.int32).at[safe_idx].max(
-                jnp.where(boundary, c_s, 0)
-            )
-            rows_out = jnp.zeros(cap_l, jnp.int32).at[safe_idx].max(
-                jnp.where(boundary, r_s, 0)
-            )
+            if rows_pad * n < 2**31:
+                keys_out = jnp.zeros(cap_l, jnp.int32).at[safe_idx].max(
+                    jnp.where(boundary, key_s, 0)
+                )
+                rows_out = keys_out // n
+                cols_out = keys_out % n
+            else:
+                cols_out = jnp.zeros(cap_l, jnp.int32).at[safe_idx].max(
+                    jnp.where(boundary, c_s, 0)
+                )
+                rows_out = jnp.zeros(cap_l, jnp.int32).at[safe_idx].max(
+                    jnp.where(boundary, r_s, 0)
+                )
             oslot = jnp.arange(cap_l, dtype=INDEX_DTYPE)
             slot_live = oslot < out_nnz
             indices = jnp.where(slot_live, cols_out, 0)
