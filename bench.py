@@ -69,9 +69,11 @@ def main():
 
     def step(a, b):
         # Explicit FAST: engages the double-bf16 split3 triu kernel (3 MXU
-        # passes).  Its |A|@|B|-relative error bound is tight for these
-        # non-negative uniform operands: measured max-rel ~3e-6, inside the
-        # reference oracle's rtol=1e-5 (see benchmarks/accuracy.py).
+        # passes).  At THIS config (10k^2 d=0.1, non-negative uniform
+        # operands) the committed accuracy artifact measures max-rel
+        # 3.0e-6 vs the f64 oracle -- inside rtol=1e-5
+        # (benchmarks/results_accuracy_tpu.json; note split3 exceeds the
+        # oracle at 2000^2, which is why it is opt-in, never AUTO).
         c = spgemm_dense_out(a, b, symmetric=True, precision="fast")
         csr = dense_to_csr_triu(c, cap)
         chk = (

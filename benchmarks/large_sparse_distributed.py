@@ -29,18 +29,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def hypersparse(m: int, n: int, nnz: int, seed: int):
-    """O(nnz) uniform random CSR (sampling with replacement)."""
-    import scipy.sparse as sp
-
-    rng = np.random.default_rng(seed)
-    return sp.coo_matrix(
-        (
-            rng.uniform(size=nnz),
-            (rng.integers(0, m, nnz), rng.integers(0, n, nnz)),
-        ),
-        shape=(m, n),
-    ).tocsr()
+from sparse_matrix_mult_tpu.utils.testing import hypersparse_random as hypersparse  # noqa: E402
 
 
 def main():

@@ -171,8 +171,12 @@ def bench_config(n_rows: int, n_cols: int, density: float) -> list[dict]:
     # 1/2: sparse x sparse -> dense (nosym, sym)
     f_dense = jax.jit(lambda a, b: spgemm_dense_out(a, b).sum())
     record("dense_nosym", _time(f_dense, a, b), t_scipy_dense)
-    # Symmetric device rows request FAST explicitly (split3 triu kernel;
-    # measured max-rel ~3e-6 on these operands -- see benchmarks/accuracy.py).
+    # Symmetric device rows request FAST explicitly, engaging the opt-in
+    # split3 triu kernel.  Accuracy is config-dependent (committed
+    # results_accuracy_tpu.json): max-rel 3.8e-6 at 500^2 and 3.0e-6 at
+    # 10k^2 (inside the rtol=1e-5 oracle), but 2.5e-5 at 2000^2 d=0.05 --
+    # these rows benchmark the documented FAST trade-off, not the API
+    # default (AUTO keeps 6-pass f32, max-rel <= 1.7e-6 everywhere).
     f_dsym = jax.jit(
         lambda a, b: spgemm_dense_out(a, b, symmetric=True, precision="fast").sum()
     )
@@ -265,19 +269,7 @@ def bench_config(n_rows: int, n_cols: int, density: float) -> list[dict]:
     return results
 
 
-def _hypersparse_random(m: int, n: int, nnz: int, seed: int):
-    """Uniform random CSR with ~nnz entries, O(nnz) construction.
-
-    ``scipy.sparse.random`` with a legacy seed materializes a full
-    permutation of m*n cells to sample without replacement -- 80 GB and
-    hours at 100k x 100k.  Sampling WITH replacement and summing the
-    handful of duplicates is equivalent for benchmarking.
-    """
-    rng = np.random.default_rng(seed)
-    r = rng.integers(0, m, size=nnz)
-    c = rng.integers(0, n, size=nnz)
-    v = rng.uniform(size=nnz)
-    return sp.coo_matrix((v, (r, c)), shape=(m, n)).tocsr()
+from sparse_matrix_mult_tpu.utils.testing import hypersparse_random as _hypersparse_random
 
 
 def bench_hypersparse() -> list[dict]:

@@ -112,8 +112,9 @@ def _dense_to_scipy_csr(a_sp, b_sp, symmetric: bool):
       have ~20 ms fixed latency that dominates down here.
     * dense-ish outputs (panel bytes < packed-CSR bytes, i.e. density
       > ~50% for f32 panels): download the raw panel as concurrent row
-      blocks and pack on host with the native OpenMP kernel, overlapping
-      pack with the in-flight transfer (utils/transfer.fetch_dense_to_csr).
+      blocks, then pack on host with the native OpenMP kernel
+      (utils/transfer.fetch_dense_to_csr; fetch and pack are deliberately
+      sequential -- overlap measured 2x slower on this CPU-bound client).
       The 10k x 10k d=0.1 headline product is 100% dense -- packed CSR
       would move 2-3x the bytes.
     * sparse outputs: extract packed CSR on device (Pallas kernels),

@@ -40,7 +40,7 @@ from jax import lax
 
 from ..types import CSRMatrix, INDEX_DTYPE
 
-__all__ = ["spgemm_esc", "expansion_size"]
+__all__ = ["spgemm_esc", "esc_sort_compress", "expansion_size"]
 
 
 def expansion_size(a_indices, a_nnz: int, b_indptr) -> int:
@@ -151,31 +151,57 @@ def spgemm_esc(
     if symmetric:
         valid = valid & (k >= i + jnp.asarray(row_offset, INDEX_DTYPE))
 
-    # ---- sort + segment boundaries ----------------------------------------
-    fused = rows * cols < 2**31
+    indptr, indices, values = esc_sort_compress(
+        jnp.where(valid, i, big),
+        jnp.where(valid, k, big),
+        v,
+        n_rows=rows,
+        n_cols=cols,
+        out_capacity=out_capacity,
+    )
+    return CSRMatrix(indptr=indptr, indices=indices, values=values, shape=(rows, cols))
+
+
+def esc_sort_compress(
+    i_key: jax.Array,
+    k_key: jax.Array,
+    v: jax.Array,
+    *,
+    n_rows: int,
+    n_cols: int,
+    out_capacity: int,
+):
+    """Sort partial products by (row, col) and segment-sum duplicates into
+    packed CSR arrays -- the shared tail of the single-chip ESC and the
+    distributed ring kernel's per-shard compress.
+
+    Invalid slots carry ``int32 max`` in BOTH key arrays (they sort last).
+    When the output space fits int32 (``n_rows * n_cols < 2**31``) a fused
+    key runs one ``sort_key_val`` + ONE key scatter (measured 0.23 s vs
+    0.37 s for the two-key variant at 4M on v5e -- unlike gathers,
+    multi-column scatters do NOT amortize); larger spaces take a
+    lexicographic two-int32-key sort with no size limit and no x64.
+    Returns ``(indptr, indices, values)`` with row pointers derived by
+    binary search over the (row-major sorted) output rows.
+    """
+    big = jnp.array(jnp.iinfo(jnp.int32).max, jnp.int32)
+    E = i_key.shape[0]
+    fused = n_rows * n_cols < 2**31
     if fused:
-        # Fused int32 key: one sort_key_val + ONE key scatter (fastest
-        # path; measured 0.23 s vs 0.37 s for the two-key variant at 4M on
-        # v5e -- unlike gathers, multi-column scatters do NOT amortize).
-        key = jnp.where(valid, i * cols + k, big)
+        key = jnp.where(i_key != big, i_key * n_cols + k_key, big)
         key_sorted, v_sorted = lax.sort_key_val(key, v)
         live = key_sorted != big
         prev = jnp.concatenate([big[None], key_sorted[:-1]])
         boundary = live & (key_sorted != prev)
     else:
-        # Output space exceeds int32: lexicographic sort on two int32 keys
-        # (no x64, no size limit).
-        i_key = jnp.where(valid, i, big)
-        k_key = jnp.where(valid, k, big)
         i_s, k_s, v_sorted = lax.sort((i_key, k_key, v), dimension=0, num_keys=2)
         live = i_s != big
         prev_i = jnp.concatenate([big[None], i_s[:-1]])
         prev_k = jnp.concatenate([big[None], k_s[:-1]])
         boundary = live & ((i_s != prev_i) | (k_s != prev_k))
 
-    # ---- compress ----------------------------------------------------------
     out_idx = jnp.cumsum(boundary, dtype=INDEX_DTYPE) - 1
-    out_nnz = out_idx[-1] + 1 if expand_capacity > 0 else jnp.zeros((), INDEX_DTYPE)
+    out_nnz = out_idx[-1] + 1 if E > 0 else jnp.zeros((), INDEX_DTYPE)
 
     safe_idx = jnp.clip(out_idx, 0, out_capacity - 1)
     values = jnp.zeros(out_capacity, v.dtype).at[safe_idx].add(
@@ -185,8 +211,8 @@ def spgemm_esc(
         keys_out = jnp.zeros(out_capacity, jnp.int32).at[safe_idx].max(
             jnp.where(boundary, key_sorted, 0)
         )
-        rows_out = keys_out // cols
-        cols_out = keys_out % cols
+        rows_out = keys_out // n_cols
+        cols_out = keys_out % n_cols
     else:
         rc = jnp.stack(
             [jnp.where(boundary, i_s, 0), jnp.where(boundary, k_s, 0)], axis=1
@@ -202,8 +228,8 @@ def spgemm_esc(
     # Output slots are (row, col)-ordered, so rows are sorted and the row
     # pointers fall out of a binary search -- no output-sized scatter
     # (55 ms at 4M slots on v5e; searchsorted is rows*log(cap)).
-    row_sorted = jnp.where(slot_live, rows_out, rows)
+    row_sorted = jnp.where(slot_live, rows_out, n_rows)
     indptr = jnp.searchsorted(
-        row_sorted, jnp.arange(rows + 1, dtype=INDEX_DTYPE), side="left"
+        row_sorted, jnp.arange(n_rows + 1, dtype=INDEX_DTYPE), side="left"
     ).astype(INDEX_DTYPE)
-    return CSRMatrix(indptr=indptr, indices=indices, values=values, shape=(rows, cols))
+    return indptr, indices, values

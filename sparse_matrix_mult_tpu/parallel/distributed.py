@@ -441,11 +441,22 @@ def spgemm_csr_distributed(
 
         a_probe = _as_scipy(a)
         s_count = mesh.devices.size
-        rows_pad = -(-a_probe.shape[0] // s_count)
-        kb = -(-a_probe.shape[1] // s_count)
+        m, k = a_probe.shape
         n_cols = b.shape[1] if isinstance(b, ShardedCSR) else _as_scipy(b).shape[1]
+        # Per-shard dense working set: A panel (rows_pad x k), B block
+        # (kb x n), C panel (rows_pad x n).  rows_pad comes from the ACTUAL
+        # bounds that will be used -- flop-balanced bounds can make one
+        # shard far taller than m/S on skewed matrices.
+        if balance == "flops" and not isinstance(b, ShardedCSR):
+            bnds = flop_shard_bounds(a_probe, b, s_count)
+            rows_pad = max(
+                max(b1 - b0 for b0, b1 in zip(bnds[:-1], bnds[1:])), 1
+            )
+        else:
+            rows_pad = -(-m // s_count)
+        kb = -(-k // s_count)
         itemsize = 8 if jax.config.jax_enable_x64 else 4
-        panel_bytes = (rows_pad + kb + rows_pad) * n_cols * itemsize
+        panel_bytes = (rows_pad * k + kb * n_cols + rows_pad * n_cols) * itemsize
         if panel_bytes > get_config().dense_shard_budget_bytes:
             return spgemm_csr_distributed_sparse(
                 a_probe, b, mesh=mesh, symmetric=symmetric, balance=balance
@@ -488,15 +499,32 @@ def spgemm_csr_distributed(
 # ---------------------------------------------------------------------------
 
 
-def _expand_step_capacity(a_sp, b_sp, bounds, s_count: int) -> tuple:
+def _sharded_global_indptr(b: ShardedCSR) -> np.ndarray:
+    """Global CSR row pointers of a row-sharded matrix from its per-shard
+    local pointers -- a few KB fetched, NOT the full operand (the capacity
+    planner only needs row lengths)."""
+    ips = np.asarray(b.indptrs)  # (S, rows_pad + 1), small
+    bounds = b.row_bounds
+    parts = [np.zeros(1, np.int64)]
+    base = 0
+    for s in range(len(bounds) - 1):
+        rows_here = bounds[s + 1] - bounds[s]
+        local = ips[s][1 : rows_here + 1].astype(np.int64)
+        parts.append(base + local)
+        base += int(ips[s][rows_here]) if rows_here else 0
+    return np.concatenate(parts)
+
+
+def _expand_step_capacity(a_sp, b_indptr, b_rows: int, bounds, s_count: int) -> tuple:
     """Host-side exact per-(shard, ring-step) expansion sizes.
 
     Returns (max over shard/step of partial products in one step,
     max over shards of total partial products) -- the two static
-    capacities of the sparse ring kernel.
+    capacities of the sparse ring kernel.  ``b_indptr`` is B's GLOBAL row
+    pointer array (all that is needed from B).
     """
-    kb = -(-b_sp.shape[0] // s_count) if b_sp.shape[0] else 1
-    b_row_nnz = np.diff(b_sp.indptr)
+    kb = -(-b_rows // s_count) if b_rows else 1
+    b_row_nnz = np.diff(b_indptr)
     per_entry = b_row_nnz[a_sp.indices].astype(np.int64)
     col_block = (a_sp.indices // kb).astype(np.int64)
     shard_of_entry = np.zeros(a_sp.nnz, np.int64)
@@ -623,57 +651,18 @@ def _spgemm_sparse_jit(
                 (b_ip2, b_ix2, b_v2, rows_buf0, cols_buf0, vals_buf0),
             )
 
-            # ---- sort + compress ------------------------------------------
-            # Fused int32 key when the LOCAL output space fits (one
-            # sort_key_val + one key scatter, ~1.6x the two-key variant);
-            # lexicographic two-key sort otherwise (no size limit).
-            if rows_pad * n < 2**31:
-                key = jnp.where(
-                    rows_buf != BIG, rows_buf * n + cols_buf, BIG
-                )
-                key_s, v_s = lax.sort_key_val(key, vals_buf)
-                live = key_s != BIG
-                prev = jnp.concatenate([BIG[None], key_s[:-1]])
-                boundary = live & (key_s != prev)
-            else:
-                r_s, c_s, v_s = lax.sort(
-                    (rows_buf, cols_buf, vals_buf), dimension=0, num_keys=2
-                )
-                live = r_s != BIG
-                prev_r = jnp.concatenate([BIG[None], r_s[:-1]])
-                prev_c = jnp.concatenate([BIG[None], c_s[:-1]])
-                boundary = live & ((r_s != prev_r) | (c_s != prev_c))
-            out_idx = jnp.cumsum(boundary, dtype=INDEX_DTYPE) - 1
-            out_nnz = out_idx[-1] + 1
-            safe_idx = jnp.clip(out_idx, 0, cap_l - 1)
-            values = jnp.zeros(cap_l, v_s.dtype).at[safe_idx].add(
-                jnp.where(live, v_s, 0)
+            # ---- sort + compress: shared ESC tail (fused int32 key when
+            # the LOCAL output space fits; two-key lex sort otherwise).
+            from ..ops.spgemm_jnp import esc_sort_compress
+
+            indptr, indices, values = esc_sort_compress(
+                rows_buf,
+                cols_buf,
+                vals_buf,
+                n_rows=rows_pad,
+                n_cols=n,
+                out_capacity=cap_l,
             )
-            if rows_pad * n < 2**31:
-                keys_out = jnp.zeros(cap_l, jnp.int32).at[safe_idx].max(
-                    jnp.where(boundary, key_s, 0)
-                )
-                rows_out = keys_out // n
-                cols_out = keys_out % n
-            else:
-                cols_out = jnp.zeros(cap_l, jnp.int32).at[safe_idx].max(
-                    jnp.where(boundary, c_s, 0)
-                )
-                rows_out = jnp.zeros(cap_l, jnp.int32).at[safe_idx].max(
-                    jnp.where(boundary, r_s, 0)
-                )
-            oslot = jnp.arange(cap_l, dtype=INDEX_DTYPE)
-            slot_live = oslot < out_nnz
-            indices = jnp.where(slot_live, cols_out, 0)
-            values = jnp.where(slot_live, values, 0)
-            # Slots are (row, col)-sorted: row pointers by binary search,
-            # no output-sized scatter.
-            row_sorted = jnp.where(slot_live, rows_out, rows_pad)
-            indptr = jnp.searchsorted(
-                row_sorted,
-                jnp.arange(rows_pad + 1, dtype=INDEX_DTYPE),
-                side="left",
-            ).astype(INDEX_DTYPE)
             return indptr[None], indices[None], values[None]
 
         ip, ix, vv = shard_map(
@@ -715,22 +704,37 @@ def spgemm_csr_distributed_sparse(
     s_count = mesh.devices.size
     if not isinstance(a, ShardedCSR):
         a_sp = _as_scipy(a)
-        b_sp = _as_scipy(b)
-        bounds = (
-            flop_shard_bounds(a_sp, b_sp, s_count)
-            if balance == "flops"
-            else _uniform_bounds(a_sp.shape[0], s_count)
-        )
+        # B's structure planning needs only its GLOBAL indptr: a pre-placed
+        # ShardedCSR stays on device (fetching a few KB of row pointers),
+        # instead of a full gather-and-reupload round trip.
+        if isinstance(b, ShardedCSR):
+            b_indptr = _sharded_global_indptr(b)
+            b_rows, b_cols = b.shape
+        else:
+            b = _as_scipy(b)
+            b_indptr = b.indptr
+            b_rows, b_cols = b.shape
+        if balance == "flops":
+            from .partition import flop_balanced_partition, row_flops
+
+            flops = row_flops(a_sp.indptr, a_sp.indices, b_indptr)
+            bounds = tuple(
+                int(x) for x in flop_balanced_partition(flops, s_count)
+            )
+        else:
+            bounds = _uniform_bounds(a_sp.shape[0], s_count)
         if expand_step_capacity is None or shard_capacity is None:
-            e_max, tot_max = _expand_step_capacity(a_sp, b_sp, bounds, s_count)
+            e_max, tot_max = _expand_step_capacity(
+                a_sp, b_indptr, b_rows, bounds, s_count
+            )
             if expand_step_capacity is None:
                 expand_step_capacity = bucket_capacity(e_max)
             if shard_capacity is None:
                 shard_capacity = bucket_capacity(
-                    min(tot_max, a_sp.shape[0] * b_sp.shape[1])
+                    min(tot_max, a_sp.shape[0] * b_cols)
                 )
         a = shard_csr(a_sp, mesh, bounds=bounds)
-        b = _shard(b_sp, mesh)
+        b = _shard(b, mesh)
     else:
         b = _shard(b, mesh)
         if expand_step_capacity is None or shard_capacity is None:

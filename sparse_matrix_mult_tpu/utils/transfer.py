@@ -9,12 +9,14 @@ transparent to callers:
   splits the array into row blocks (one dispatch, N output buffers), and a
   small thread pool streams the blocks down concurrently -- measured
   ~1.4-1.6x the monolithic fetch bandwidth on this link.
-* **Overlapped fetch+pack** (:func:`fetch_dense_to_csr`): for dense-ish
-  products the API downloads the raw f32 panel instead of packed CSR;
-  each row block is packed into CSR (native OpenMP kernel,
-  :func:`~sparse_matrix_mult_tpu.utils.native.dense_pack`) as soon as it
-  lands, while later blocks are still in flight -- the pack cost hides
-  inside the transfer.
+* **Panel download + host pack** (:func:`fetch_dense_to_csr`): for
+  dense-ish products the API downloads the raw f32 panel instead of
+  packed CSR (fewer bytes past ~50% density) and packs it into CSR on
+  host with the native OpenMP kernel
+  (:func:`~sparse_matrix_mult_tpu.utils.native.dense_pack`).  Fetch and
+  pack run SEQUENTIALLY: overlapping them measured 2x slower here,
+  because the tunnel client's TLS/deframing is itself CPU-bound on this
+  2-core host (details on the function).
 
 Reference analogue: the ctypes marshalling layer
 (``/root/reference/sparse_matrix_mult/matrix_ops.py:205-240``) copies

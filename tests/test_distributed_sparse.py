@@ -109,7 +109,7 @@ def test_expand_step_capacity_exact(mesh):
     A = sp.random(100, 80, density=0.1, format="csr", random_state=26)
     B = sp.random(80, 90, density=0.1, format="csr", random_state=27)
     bounds = _uniform_bounds(100, S)
-    e_max, tot_max = _expand_step_capacity(A, B, bounds, S)
+    e_max, tot_max = _expand_step_capacity(A, B.indptr, B.shape[0], bounds, S)
     # Exact totals: sum over shards of per-shard totals == global expansion.
     kb = -(-80 // S)
     b_row_nnz = np.diff(B.indptr)
@@ -138,21 +138,13 @@ def test_large_sparse_never_densifies(mesh):
     S = mesh.devices.size
     m = k = n = 20_000
 
-    # O(nnz) operand construction: scipy.sparse.random with a legacy seed
-    # materializes a full m*n permutation (3.2 GB here) to sample without
-    # replacement; sampling with replacement is equivalent for this test.
-    def hyper(seed):
-        rng = np.random.default_rng(seed)
-        nnz = int(5e-4 * m * k)
-        return sp.coo_matrix(
-            (rng.uniform(size=nnz), (rng.integers(0, m, nnz), rng.integers(0, k, nnz))),
-            shape=(m, k),
-        ).tocsr()
+    from sparse_matrix_mult_tpu.utils.testing import hypersparse_random
 
-    A = hyper(28)
-    B = hyper(29)
+    nnz = int(5e-4 * m * k)
+    A = hypersparse_random(m, k, nnz, seed=28)
+    B = hypersparse_random(k, n, nnz, seed=29)
     bounds = flop_shard_bounds(A, B, S)
-    e_max, tot_max = _expand_step_capacity(A, B, bounds, S)
+    e_max, tot_max = _expand_step_capacity(A, B.indptr, B.shape[0], bounds, S)
     e_step = bucket_capacity(e_max)
     cap_l = bucket_capacity(tot_max)
     a = shard_csr(A, row_mesh(), bounds=bounds)

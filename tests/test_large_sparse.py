@@ -162,17 +162,12 @@ def test_esc_output_space_beyond_int32():
     from sparse_matrix_mult_tpu.types import bucket_capacity, from_scipy, to_scipy
     from sparse_matrix_mult_tpu.utils.native import expansion_size
 
-    m = n = 50_000  # m*n = 2.5e9 > 2**31
-    rng = np.random.default_rng(61)
-    nnz = 3000
-    def mk(seed_off):
-        r = np.random.default_rng(61 + seed_off)
-        return sp.coo_matrix(
-            (r.uniform(size=nnz), (r.integers(0, m, nnz), r.integers(0, n, nnz))),
-            shape=(m, n),
-        ).tocsr()
+    from sparse_matrix_mult_tpu.utils.testing import hypersparse_random
 
-    A, B = mk(0), mk(1)
+    m = n = 50_000  # m*n = 2.5e9 > 2**31
+    nnz = 3000
+    A = hypersparse_random(m, n, nnz, seed=61)
+    B = hypersparse_random(m, n, nnz, seed=62)
     exp = max(int(expansion_size(A.indices, A.nnz, B.indptr)), 1)
     c = spgemm_esc(
         from_scipy(A),
