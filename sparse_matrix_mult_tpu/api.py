@@ -32,7 +32,12 @@ from .config import Precision, get_config
 from .ops.convert import dense_to_csr
 from .ops.dense_path import dense_path_fits, spgemm_dense_out
 from .ops.matmul import resolve_precision
-from .ops.spgemm_jnp import expansion_size, spgemm_esc
+from .ops.spgemm_jnp import (
+    expansion_size,
+    spgemm_esc,
+    spgemm_esc_windowed,
+    windowed_plan,
+)
 from .ops.triple_product import triple_product_dense
 from .types import CSRMatrix, bucket_capacity, from_scipy, to_scipy
 from .utils.native import csr_triu, spgemm_host, stitch_csr
@@ -41,6 +46,7 @@ __all__ = ["sparse_matrix_multiply", "multiply", "triple_product", "get_last_rou
 
 # Which compute strategy the last sparse_matrix_multiply dispatch used
 # (observability + test assertions): one of "dense", "bsr", "esc",
+# "esc_windowed",
 # "dense_chunks", "esc_chunks", "triple", "empty".
 _LAST_ROUTE: str | None = None
 
@@ -313,6 +319,19 @@ def _sparse_out_chunked_esc(a_sp, b_sp, symmetric: bool):
     dtype, _ = _upload_dtype(a_sp, b_sp)
     b = from_scipy(b_sp, dtype=dtype)
     csum = np.concatenate([[0], np.cumsum(flops, dtype=np.int64)])
+    # One window plan for the WHOLE operand (not per chunk): chunks then
+    # share compiled executables, and B's row-length profile is chunk-
+    # independent anyway.  Per-chunk tail capacities are exact-then-bucketed.
+    ref_lens = np.diff(b_sp.indptr)[a_sp.indices]
+    total_expand = int(csum[-1])
+    plan = windowed_plan(a_sp.nnz, ref_lens, total_expand)
+    tail_cum = (
+        np.concatenate(
+            [[0], np.cumsum(np.maximum(ref_lens - plan[0], 0), dtype=np.int64)]
+        )
+        if plan is not None
+        else None
+    )
     parts = []
     for start, stop in zip(bounds[:-1], bounds[1:]):
         rows_c = stop - start
@@ -320,14 +339,28 @@ def _sparse_out_chunked_esc(a_sp, b_sp, symmetric: bool):
         expand = int(csum[stop] - csum[start])
         a_chunk = _chunk_rows_padded(a_sp, start, stop, rows_pad, dtype=dtype)
         out_cap = bucket_capacity(max(min(expand, rows_pad * n), 1))
-        c = spgemm_esc(
-            a_chunk,
-            b,
-            expand_capacity=bucket_capacity(max(expand, 1)),
-            out_capacity=out_cap,
-            symmetric=symmetric,
-            row_offset=jnp.int32(start),
-        )
+        if plan is not None:
+            e0, e1 = a_sp.indptr[start], a_sp.indptr[stop]
+            tail = int(tail_cum[e1] - tail_cum[e0])
+            c = spgemm_esc_windowed(
+                a_chunk,
+                b,
+                window=plan[0],
+                expand_capacity=bucket_capacity(max(expand, 1)),
+                tail_capacity=bucket_capacity(tail) if tail else 0,
+                out_capacity=out_cap,
+                symmetric=symmetric,
+                row_offset=jnp.int32(start),
+            )
+        else:
+            c = spgemm_esc(
+                a_chunk,
+                b,
+                expand_capacity=bucket_capacity(max(expand, 1)),
+                out_capacity=out_cap,
+                symmetric=symmetric,
+                row_offset=jnp.int32(start),
+            )
         parts.append(to_scipy(c)[:rows_c])
     out = stitch_csr(parts, m, n)
     if out.dtype != np.float64:  # numpy-fallback stitch keeps f32
@@ -493,14 +526,30 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
         a = from_scipy(a_sp, dtype=dtype)
         b = from_scipy(b_sp, dtype=dtype)
         out_cap = bucket_capacity(min(expand, m * n))
-        c = spgemm_esc(
-            a,
-            b,
-            expand_capacity=bucket_capacity(expand),
-            out_capacity=out_cap,
-            symmetric=symmetric,
+        plan = windowed_plan(
+            a_sp.nnz, np.diff(b_sp.indptr)[a_sp.indices], expand
         )
-        _set_route("esc")
+        if plan is not None:
+            w, tail = plan
+            c = spgemm_esc_windowed(
+                a,
+                b,
+                window=w,
+                expand_capacity=bucket_capacity(expand),
+                tail_capacity=bucket_capacity(tail) if tail else 0,
+                out_capacity=out_cap,
+                symmetric=symmetric,
+            )
+            _set_route("esc_windowed")
+        else:
+            c = spgemm_esc(
+                a,
+                b,
+                expand_capacity=bucket_capacity(expand),
+                out_capacity=out_cap,
+                symmetric=symmetric,
+            )
+            _set_route("esc")
         out = to_scipy(c)
         if out.dtype != np.float64:
             out = out.astype(np.float64)
@@ -662,6 +711,8 @@ def multiply(
     out_capacity: int | None = None,
     expand_capacity: int | None = None,
     precision: str | None = None,
+    window: int | None = None,
+    tail_capacity: int = 0,
 ):
     """Device-resident multiply for JAX programs (composable under ``jit``).
 
@@ -684,6 +735,20 @@ def multiply(
         if out_capacity is None:
             raise ValueError("sparse output under jit requires out_capacity")
         if expand_capacity is not None:
+            if window is not None:
+                # Windowed (ELLPACK) expansion: the hypersparse fast path.
+                # Callers size window/tail from host structure stats (see
+                # ops.spgemm_jnp.windowed_plan); exact for any skew via the
+                # tail spill.
+                return spgemm_esc_windowed(
+                    a,
+                    b,
+                    window=window,
+                    expand_capacity=expand_capacity,
+                    tail_capacity=tail_capacity,
+                    out_capacity=out_capacity,
+                    symmetric=symmetric,
+                )
             return spgemm_esc(
                 a,
                 b,
