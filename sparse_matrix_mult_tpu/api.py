@@ -46,19 +46,21 @@ __all__ = ["sparse_matrix_multiply", "multiply", "triple_product", "get_last_rou
 
 # Which compute strategy the last sparse_matrix_multiply dispatch used
 # (observability + test assertions): one of "dense", "bsr", "esc",
-# "esc_windowed",
-# "dense_chunks", "esc_chunks", "triple", "empty".
-_LAST_ROUTE: str | None = None
+# "esc_windowed", "dense_chunks", "esc_chunks", "triple", "empty".
+# Thread-local so concurrent callers never read each other's route labels.
+import threading as _threading
+
+_ROUTE_STATE = _threading.local()
 
 
 def get_last_route() -> str | None:
-    """Strategy chosen by the most recent :func:`sparse_matrix_multiply`."""
-    return _LAST_ROUTE
+    """Strategy chosen by the most recent :func:`sparse_matrix_multiply`
+    on the CALLING thread (thread-local observability)."""
+    return getattr(_ROUTE_STATE, "route", None)
 
 
 def _set_route(route: str) -> None:
-    global _LAST_ROUTE
-    _LAST_ROUTE = route
+    _ROUTE_STATE.route = route
 
 
 def _coerce_csr(m):
@@ -186,7 +188,13 @@ def _fetch_full_triu(c, nnz: int):
     m = c.shape[0]
     csr = _extract_csr(c, bucket_capacity(nnz), symmetric=True)
     indptr = np.asarray(csr.indptr)
-    assert int(indptr[-1]) == nnz
+    if int(indptr[-1]) != nnz:
+        # Runtime data invariant (not a debug assert: must survive -O): the
+        # arithmetic index reconstruction below is only valid for a fully
+        # dense upper triangle.
+        raise RuntimeError(
+            f"triu extraction produced {int(indptr[-1])} entries, expected {nnz}"
+        )
     cap = csr.capacity
     fine = min(fine_capacity(nnz), cap)
     val_d = csr.values
@@ -470,19 +478,27 @@ def _host_route_wins(expand: int, a_sp, b_sp, out_bytes: int | None = None) -> b
         cfg = get_config()
     m = a_sp.shape[0]
     n = b_sp.shape[1]
+    # Per-entry wire bytes follow the RESOLVED upload dtype: configs that
+    # run the pipeline in f64 (CPU/x64 parity, STRICT, AUTO->SPLIT) ship
+    # 8 B values, so entries are 12 B each way, not 8 B.
+    dtype, _ = _upload_dtype(a_sp, b_sp)
+    val_bytes = 4 if dtype == jnp.float32 else 8
+    entry_bytes = 4 + val_bytes  # int32 index + value
     nnz_est = _est_result_nnz(expand, m, n)
     if out_bytes is None:
-        # Sparse output: cheaper of packed CSR (8 B/entry fine-trimmed,
-        # f32 values) and the raw f32 panel + host pack.
-        csr_bytes = 8 * nnz_est
-        panel_cost = 4 * m * n / cfg.link_down_bytes_per_s + m * n / cfg.host_pack_rate
+        # Sparse output: cheaper of packed CSR (fine-trimmed) and the raw
+        # dense panel + host pack.
+        csr_bytes = entry_bytes * nnz_est
+        panel_cost = (
+            val_bytes * m * n / cfg.link_down_bytes_per_s + m * n / cfg.host_pack_rate
+        )
         down_cost = min(csr_bytes / cfg.link_down_bytes_per_s, panel_cost)
     else:
         down_cost = out_bytes / cfg.link_down_bytes_per_s
     out_slots = max(nnz_est, 1)
     reuse = max(expand / out_slots, 1.0)
     est_host = expand / (cfg.host_rate_base * reuse**0.5)
-    up_bytes = 8 * (a_sp.nnz + b_sp.nnz)  # f32 values + int32 indices
+    up_bytes = entry_bytes * (a_sp.nnz + b_sp.nnz)
     est_dev = cfg.link_fixed_s + up_bytes / cfg.link_up_bytes_per_s + down_cost
     return est_host < est_dev
 

@@ -111,6 +111,7 @@ def save_partitioned(
     else:
         bounds = equal_rows_partition(rows, n_shards)
     paths = []
+    shard_nnz = []
     for i in range(len(bounds) - 1):
         lo, hi = int(bounds[i]), int(bounds[i + 1])
         sub = m[lo:hi]
@@ -124,6 +125,7 @@ def save_partitioned(
             row0=np.asarray([lo], np.int64),
         )
         paths.append(path)
+        shard_nnz.append(int(sub.nnz))
     with open(_meta_path(prefix), "w") as f:
         json.dump(
             {
@@ -131,6 +133,9 @@ def save_partitioned(
                 "n_shards": len(paths),
                 "bounds": [int(b) for b in bounds],
                 "dtype": str(m.dtype),
+                # Lets load_sharded_operand size capacities without opening
+                # any shard file it does not own.
+                "shard_nnz": shard_nnz,
             },
             f,
         )

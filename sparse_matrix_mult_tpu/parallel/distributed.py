@@ -172,6 +172,18 @@ def _uniform_bounds(m: int, s: int) -> tuple:
     return tuple(min(i * per, m) for i in range(s + 1))
 
 
+def _pad_bounds(bounds, m: int, s: int) -> tuple:
+    """Pad flop-balanced bounds to exactly ``s + 1`` entries.
+
+    ``flop_balanced_partition`` returns ``min(parts, rows) + 1`` boundaries;
+    with fewer rows than mesh devices the trailing shards must exist (empty)
+    or ``shard_csr`` rejects the bounds with an opaque error."""
+    bounds = tuple(int(b) for b in bounds)
+    if len(bounds) < s + 1:
+        bounds = bounds + (m,) * (s + 1 - len(bounds))
+    return bounds
+
+
 def _as_scipy(mat):
     import scipy.sparse as sp
 
@@ -225,22 +237,54 @@ def shard_csr(
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
-    ip = np.zeros((s_count, rows_pad + 1), np.int32)
-    ix = np.zeros((s_count, cap), np.int32)
-    vv = np.zeros((s_count, cap), np.dtype(dtype))
-    for s in range(s_count):
-        b0, b1 = bounds[s], bounds[s + 1]
-        lo, hi = int(mat.indptr[b0]), int(mat.indptr[b1])
-        ip[s, 1 : b1 - b0 + 1] = mat.indptr[b0 + 1 : b1 + 1] - lo
-        ip[s, b1 - b0 + 1 :] = hi - lo
-        ix[s, : hi - lo] = mat.indices[lo:hi]
-        vv[s, : hi - lo] = mat.data[lo:hi]
+    # Shards are materialized LAZILY inside the placement callback: on a
+    # multi-host pod each process builds only the padded blocks backing its
+    # own addressable devices (jax only invokes the callback for those), so
+    # no process ever holds the full (S, cap) arrays host-side.  The source
+    # scipy arrays are only sliced at [indptr[b0]:indptr[b1]) per owned
+    # shard.  Same pattern as io.load_sharded_operand's per-shard file
+    # reads.
+    cache: dict = {}
 
-    def put(arr):
-        sh = NamedSharding(mesh, P(axis, *([None] * (arr.ndim - 1))))
-        return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+    def _shard_arrays(s: int):
+        if s not in cache:
+            _note_materialized(s)
+            b0, b1 = bounds[s], bounds[s + 1]
+            lo, hi = int(mat.indptr[b0]), int(mat.indptr[b1])
+            ip = np.zeros(rows_pad + 1, np.int32)
+            ip[1 : b1 - b0 + 1] = mat.indptr[b0 + 1 : b1 + 1] - lo
+            ip[b1 - b0 + 1 :] = hi - lo
+            ix = np.zeros(cap, np.int32)
+            ix[: hi - lo] = mat.indices[lo:hi]
+            vv = np.zeros(cap, np.dtype(dtype))
+            vv[: hi - lo] = mat.data[lo:hi]
+            cache[s] = (ip, ix, vv)
+        return cache[s]
 
-    return ShardedCSR(put(ip), put(ix), put(vv), (m, n), bounds)
+    def put(kind: int, shape, np_dtype):
+        sh = NamedSharding(mesh, P(axis, *([None] * (len(shape) - 1))))
+
+        def cb(idx):
+            s = idx[0].start or 0
+            return _shard_arrays(s)[kind][None]
+
+        return jax.make_array_from_callback(shape, sh, cb)
+
+    ip = put(0, (s_count, rows_pad + 1), np.int32)
+    ix = put(1, (s_count, cap), np.int32)
+    vv = put(2, (s_count, cap), np.dtype(dtype))
+    cache.clear()
+    return ShardedCSR(ip, ix, vv, (m, n), bounds)
+
+
+# Instrumentation for the per-process data-locality contract: every shard
+# index a shard_csr placement callback materializes on THIS process is
+# appended here (tests assert a process touches only its own shards).
+MATERIALIZED_SHARDS: list = []
+
+
+def _note_materialized(s: int) -> None:
+    MATERIALIZED_SHARDS.append(int(s))
 
 
 def flop_shard_bounds(a_sp, b_sp, n_shards: int) -> tuple:
@@ -254,9 +298,14 @@ def flop_shard_bounds(a_sp, b_sp, n_shards: int) -> tuple:
     from .partition import flop_balanced_partition, row_flops
 
     a_sp = _as_scipy(a_sp)
-    b_sp = _as_scipy(b_sp)
-    flops = row_flops(a_sp.indptr, a_sp.indices, b_sp.indptr)
-    return tuple(int(x) for x in flop_balanced_partition(flops, n_shards))
+    if isinstance(b_sp, ShardedCSR):
+        b_indptr = _sharded_global_indptr(b_sp)
+    else:
+        b_indptr = _as_scipy(b_sp).indptr
+    flops = row_flops(a_sp.indptr, a_sp.indices, b_indptr)
+    return _pad_bounds(
+        flop_balanced_partition(flops, n_shards), a_sp.shape[0], n_shards
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -446,13 +495,16 @@ def spgemm_csr_distributed(
         # Per-shard dense working set: A panel (rows_pad x k), B block
         # (kb x n), C panel (rows_pad x n).  rows_pad comes from the ACTUAL
         # bounds that will be used -- flop-balanced bounds can make one
-        # shard far taller than m/S on skewed matrices.
-        if balance == "flops" and not isinstance(b, ShardedCSR):
+        # shard far taller than m/S on skewed matrices.  The bounds are
+        # computed ONCE here (covering ShardedCSR b via its global indptr,
+        # a few-KB fetch) and reused for shard_csr below.
+        if balance == "flops":
             bnds = flop_shard_bounds(a_probe, b, s_count)
             rows_pad = max(
                 max(b1 - b0 for b0, b1 in zip(bnds[:-1], bnds[1:])), 1
             )
         else:
+            bnds = None
             rows_pad = -(-m // s_count)
         kb = -(-k // s_count)
         itemsize = 8 if jax.config.jax_enable_x64 else 4
@@ -461,12 +513,7 @@ def spgemm_csr_distributed(
             return spgemm_csr_distributed_sparse(
                 a_probe, b, mesh=mesh, symmetric=symmetric, balance=balance
             )
-        a = a_probe
-    if not isinstance(a, ShardedCSR) and balance == "flops":
-        bounds = flop_shard_bounds(a, b, mesh.devices.size)
-        a = shard_csr(a, mesh, bounds=bounds)
-    else:
-        a = _shard(a, mesh)
+        a = shard_csr(a_probe, mesh, bounds=bnds)
     b = _shard(b, mesh)
     _check_operands(a, b)
     m = a.shape[0]
@@ -532,7 +579,10 @@ def _expand_step_capacity(a_sp, b_indptr, b_rows: int, bounds, s_count: int) -> 
         lo, hi = int(a_sp.indptr[bounds[s]]), int(a_sp.indptr[bounds[s + 1]])
         shard_of_entry[lo:hi] = s
     key = shard_of_entry * s_count + col_block
-    per_step = np.bincount(key, weights=per_entry, minlength=s_count * s_count)
+    # Integer accumulation: np.bincount(weights=...) sums in float64, which
+    # would round above 2**53 partials and could undersize e_step.
+    per_step = np.zeros(s_count * s_count, np.int64)
+    np.add.at(per_step, key, per_entry)
     per_shard = per_step.reshape(s_count, s_count).sum(axis=1)
     return int(per_step.max()) if per_step.size else 1, int(per_shard.max()) if per_shard.size else 1
 
@@ -718,8 +768,8 @@ def spgemm_csr_distributed_sparse(
             from .partition import flop_balanced_partition, row_flops
 
             flops = row_flops(a_sp.indptr, a_sp.indices, b_indptr)
-            bounds = tuple(
-                int(x) for x in flop_balanced_partition(flops, s_count)
+            bounds = _pad_bounds(
+                flop_balanced_partition(flops, s_count), a_sp.shape[0], s_count
             )
         else:
             bounds = _uniform_bounds(a_sp.shape[0], s_count)

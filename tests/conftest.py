@@ -22,9 +22,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (import before backend selection is fine)
 
+# Scope the persistent compile cache per backend: TPU and the virtual CPU
+# mesh sharing one directory makes XLA's CPU AOT loader warn about machine
+# features on every run (it scans the TPU entries).
+_cache_root = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+    _cache_root if os.environ.get("SMM_TESTS_ON_TPU") else os.path.join(_cache_root, "cpu"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -165,3 +165,15 @@ def test_large_sparse_never_densifies(mesh):
     assert got.nnz == ref.nnz
     diff = np.abs((got - ref)).max()
     assert diff < 1e-10
+
+
+def test_fewer_rows_than_devices_flop_balance(mesh):
+    # flop_balanced_partition returns min(parts, rows)+1 boundaries; with
+    # m < mesh size the trailing shards must be created empty instead of
+    # failing shard_csr's bounds validation (round-3 ADVICE finding).
+    a = sp.random(5, 64, density=0.5, format="csr", random_state=11)
+    b = sp.random(64, 32, density=0.2, format="csr", random_state=12)
+    out = spgemm_csr_distributed_sparse(a, b, mesh=mesh, balance="flops")
+    np.testing.assert_allclose(
+        out.to_scipy().toarray(), (a @ b).toarray(), rtol=1e-10, atol=1e-12
+    )

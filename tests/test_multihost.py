@@ -35,6 +35,7 @@ assert len(jax.devices()) == 4, jax.devices()
 
 import scipy.sparse as sp
 
+import sparse_matrix_mult_tpu.parallel.distributed as dist
 from sparse_matrix_mult_tpu.parallel.distributed import (
     shard_csr,
     spgemm_dense_distributed,
@@ -46,11 +47,20 @@ m = k = n = 40
 A = sp.random(m, k, density=0.2, format="csr", random_state=1)
 B = sp.random(k, n, density=0.2, format="csr", random_state=2)
 mesh = row_mesh()
+dist.MATERIALIZED_SHARDS.clear()
 a = shard_csr(A, mesh)
 b = shard_csr(B, mesh)
 
-# Each process holds only its 2 of 8 shards.
+# Each process holds only its 2 of 4 global shards.
 assert len(a.indices.addressable_shards) == 2, len(a.indices.addressable_shards)
+
+# Per-process data locality: the placement callbacks materialized ONLY the
+# shard blocks backing this process's own devices (2 per operand), never
+# the full (S, cap) arrays.
+own = sorted({s.index[0].start or 0 for s in a.indices.addressable_shards})
+touched = sorted(set(dist.MATERIALIZED_SHARDS))
+assert touched == own, (touched, own)
+assert len(dist.MATERIALIZED_SHARDS) == 2 * len(own), dist.MATERIALIZED_SHARDS
 
 c = spgemm_dense_distributed(a, b, mesh=mesh)
 jax.block_until_ready(c)
