@@ -523,14 +523,20 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
     # limit nothing beats the host kernel anyway.  force_pallas_bsr (tests)
     # still wins over the shortcut.
     cfg = get_config()
+    # keep_structure bans the routes that drop computed-exact-zero entries
+    # (dense extraction, BSR): host and ESC preserve Gustavson structure.
+    keep = cfg.keep_structure
+    bsr_ok = _bsr_route_ok(a_sp) and not keep
     if (expand <= cfg.host_compute_limit and not cfg.force_pallas_bsr) or (
-        _host_route_wins(expand, a_sp, b_sp) and not _bsr_route_ok(a_sp)
+        _host_route_wins(expand, a_sp, b_sp) and not bsr_ok
     ):
-        out = spgemm_host(a_sp, b_sp, symmetric, n_partials=expand)
+        out = spgemm_host(
+            a_sp, b_sp, symmetric, n_partials=expand, keep_structure=keep
+        )
         _set_route("host")
         return out
 
-    if dense_path_fits((m, k), (k, n), (m, n)):
+    if dense_path_fits((m, k), (k, n), (m, n)) and not keep:
         return _dense_to_scipy_csr(a_sp, b_sp, symmetric)
     if expand <= get_config().esc_expand_limit:
         # Expansion-sort: exact structure (keeps Gustavson's structural
@@ -571,7 +577,7 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
             out = out.astype(np.float64)
         return out
 
-    if dense_path_fits((k, n)):
+    if dense_path_fits((k, n)) and not keep:
         out = _sparse_out_chunked_dense(a_sp, b_sp, symmetric)
         _set_route("dense_chunks")
         return out
@@ -610,6 +616,17 @@ def sparse_matrix_multiply(
     * ``use_triple_product=True``-> dense ``A . B . A^T`` (upper triangle, or
       mirrored-full with ``compute_full_matrix=1``); ``output_format`` is
       ignored, as in the reference.
+
+    .. note:: structural zeros.  The reference's Gustavson workers KEEP an
+       output entry whose accumulated value is exactly 0
+       (``/root/reference/src/sparsework.cpp:73-110``); modern scipy
+       (>= 1.14) prunes such entries in matmul.  Strategies here: the
+       native-host Gustavson kernel and the ESC engines keep Gustavson
+       structure; the scipy small-problem host branch, dense extraction,
+       and BSR prune.  For cancellation-prone inputs ``nnz`` of the sparse
+       result can therefore depend on the route taken (values never do).
+       Set ``config.keep_structure=True`` to pin reference-exact Gustavson
+       structure on every sparse-output route.
     """
     # -- parameter normalization (parity with matrix_ops.py:290-305) --------
     if imem_size is None:

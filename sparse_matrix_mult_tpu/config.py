@@ -123,6 +123,18 @@ class Config:
     # Emit the reference's "Multiplication resulted in a zero matrix." notice
     # (/root/reference/sparse_matrix_mult/matrix_ops.py:370-373).
     zero_result_notice: bool = True
+    # Structural-zero contract for SPARSE outputs.  The reference's
+    # Gustavson workers keep every TOUCHED entry, including ones whose
+    # accumulated value is exactly 0 (/root/reference/src/sparsework.cpp:
+    # 73-110); modern scipy (>= 1.14) prunes them in matmul.  Routes here:
+    # native-host Gustavson and ESC keep Gustavson structure; the scipy
+    # small-problem host branch, dense extraction, and BSR prune.  With
+    # keep_structure=True the sparse-output router uses only the
+    # Gustavson-structure strategies (native host kernel at every size,
+    # ESC, chunked ESC), so nnz patterns match the reference exactly for
+    # cancellation-prone inputs -- at a performance cost for dense-ish
+    # products.
+    keep_structure: bool = False
     # Default mesh axis name for distributed SpGEMM.
     mesh_axis: str = "rows"
     # Per-device dense working-set budget for the distributed layer: when a

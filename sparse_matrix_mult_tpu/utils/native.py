@@ -312,7 +312,13 @@ def dense_pack(dense: np.ndarray):
     return sp.csr_matrix((values, indices, indptr), shape=(m, n))
 
 
-def spgemm_host(a_sp, b_sp, symmetric: bool = False, n_partials: int | None = None):
+def spgemm_host(
+    a_sp,
+    b_sp,
+    symmetric: bool = False,
+    n_partials: int | None = None,
+    keep_structure: bool = False,
+):
     """Host SpGEMM via the native two-phase Gustavson kernel (OpenMP).
 
     The small-problem escape hatch: below
@@ -322,6 +328,13 @@ def spgemm_host(a_sp, b_sp, symmetric: bool = False, n_partials: int | None = No
     is unavailable.  Returns scipy CSR with sorted column indices; with
     ``symmetric`` only the upper triangle is computed (the reference's
     ``sparsework_sym`` contract, ``/root/reference/src/sparsework.cpp:217``).
+
+    Structure: the native kernel emits every TOUCHED output slot (Gustavson
+    semantics, like the reference's workers) while scipy >= 1.14 prunes
+    entries whose accumulated value is exactly 0.  ``keep_structure=True``
+    forces the native kernel even below the scipy-crossover size so the
+    Gustavson structure contract holds at every size (no native library ->
+    scipy result, pruned).
     """
     import scipy.sparse as sp
 
@@ -339,7 +352,7 @@ def spgemm_host(a_sp, b_sp, symmetric: bool = False, n_partials: int | None = No
     if (
         lib is None
         or getattr(lib, "smm_spgemm_count", None) is None
-        or n_partials < (1 << 14)
+        or (n_partials < (1 << 14) and not keep_structure)
     ):
         out = (a_sp @ b_sp).tocsr()
         # scipy's matmul leaves per-row column order unsorted; the native
