@@ -57,6 +57,7 @@ __all__ = [
     "spgemm_csr_distributed",
     "spgemm_csr_distributed_sparse",
     "triple_product_distributed",
+    "triple_product_distributed_sparse",
     "pad_to_multiple",
 ]
 
@@ -587,6 +588,57 @@ def _expand_step_capacity(a_sp, b_indptr, b_rows: int, bounds, s_count: int) -> 
     return int(per_step.max()) if per_step.size else 1, int(per_shard.max()) if per_shard.size else 1
 
 
+def _expand_block_partials(
+    slot, a_live, a_rows, a_ix, a_v, bip, bix, bv, col0, kb: int, e_step: int, f32: bool
+):
+    """One ring step's ESC expansion: partial products of the local A
+    entries whose column falls in B block ``[col0, col0 + kb)`` against the
+    block's packed CSR arrays.  Returns ``(i_loc, k_col, v, valid)`` of
+    length ``e_step`` (cummax forward-fill + packed gathers; the shared core
+    of the sparse SpGEMM ring and the sparse triple-product ring)."""
+    cap_a = a_ix.shape[0]
+    e = jnp.arange(e_step, dtype=INDEX_DTYPE)
+    zeros_e = jnp.zeros(e_step, INDEX_DTYPE)
+    a_col_loc = a_ix - col0
+    in_blk = a_live & (a_col_loc >= 0) & (a_col_loc < kb)
+    safe_col = jnp.clip(a_col_loc, 0, kb - 1)
+    bp0_entry = bip[safe_col]
+    lens = jnp.where(in_blk, bip[safe_col + 1] - bp0_entry, 0)
+    ends = jnp.cumsum(lens, dtype=INDEX_DTYPE)
+    starts = ends - lens
+    total = ends[-1] if cap_a > 0 else jnp.zeros((), INDEX_DTYPE)
+    live_entry = in_blk & (lens > 0)
+    seed_pos = jnp.where(live_entry, starts, e_step)
+    src = lax.cummax(zeros_e.at[seed_pos].set(slot, mode="drop"))
+    cap_b = max(bix.shape[0] - 1, 0)
+    if f32:
+        a_pack = jnp.stack(
+            [
+                bp0_entry,
+                lax.bitcast_convert_type(a_v, jnp.int32),
+                starts,
+                a_rows,
+            ],
+            axis=1,
+        )
+        ga = a_pack[src]
+        b_pos = jnp.clip(ga[:, 0] + (e - ga[:, 2]), 0, cap_b)
+        i_loc = ga[:, 3]
+        av = lax.bitcast_convert_type(ga[:, 1], jnp.float32)
+        b_pack = jnp.stack([bix, lax.bitcast_convert_type(bv, jnp.int32)], axis=1)
+        gb = b_pack[b_pos]
+        k_col = gb[:, 0]
+        v = av * lax.bitcast_convert_type(gb[:, 1], jnp.float32)
+    else:
+        start_f = lax.cummax(zeros_e.at[seed_pos].set(starts, mode="drop"))
+        i_loc = lax.cummax(zeros_e.at[seed_pos].set(a_rows, mode="drop"))
+        b_pos = jnp.clip(bp0_entry[src] + (e - start_f), 0, cap_b)
+        k_col = bix[b_pos]
+        v = a_v[src] * bv[b_pos]
+    valid = e < total
+    return i_loc, k_col, v, valid
+
+
 @functools.lru_cache(maxsize=None)
 def _spgemm_sparse_jit(
     mesh: Mesh, symmetric: bool, e_step: int, cap_l: int
@@ -620,8 +672,6 @@ def _spgemm_sparse_jit(
             a_live = slot < nnz_a
 
             perm = [(i, (i - 1) % s_count) for i in range(s_count)]
-            e = jnp.arange(e_step, dtype=INDEX_DTYPE)
-            zeros_e = jnp.zeros(e_step, INDEX_DTYPE)
             f32 = val_dtype == jnp.float32
 
             rows_buf0 = jnp.full((s_count * e_step,), BIG, jnp.int32)
@@ -633,53 +683,24 @@ def _spgemm_sparse_jit(
 
             def body(s, carry):
                 b_ip_c, b_ix_c, b_v_c, rows_buf, cols_buf, vals_buf = carry
-                bip = b_ip_c.reshape(-1)
-                bix = b_ix_c.reshape(-1)
-                bv = b_v_c.reshape(-1)
                 j = (my + s) % s_count
                 col0 = (j * kb).astype(INDEX_DTYPE)
-                # Expansion lengths for A entries whose column is in block j.
-                a_col_loc = a_ix - col0
-                in_blk = a_live & (a_col_loc >= 0) & (a_col_loc < kb)
-                safe_col = jnp.clip(a_col_loc, 0, kb - 1)
-                bp0_entry = bip[safe_col]
-                lens = jnp.where(in_blk, bip[safe_col + 1] - bp0_entry, 0)
-                ends = jnp.cumsum(lens, dtype=INDEX_DTYPE)
-                starts = ends - lens
-                total = ends[-1] if cap_a > 0 else jnp.zeros((), INDEX_DTYPE)
                 # ESC expand into this step's static segment (cummax
                 # forward-fill + packed gathers; see ops/spgemm_jnp.py).
-                live_entry = in_blk & (lens > 0)
-                seed_pos = jnp.where(live_entry, starts, e_step)
-                src = lax.cummax(zeros_e.at[seed_pos].set(slot, mode="drop"))
-                cap_b = max(bix.shape[0] - 1, 0)
-                if f32:
-                    a_pack = jnp.stack(
-                        [
-                            bp0_entry,
-                            lax.bitcast_convert_type(a_v, jnp.int32),
-                            starts,
-                            a_rows,
-                        ],
-                        axis=1,
-                    )
-                    ga = a_pack[src]
-                    b_pos = jnp.clip(ga[:, 0] + (e - ga[:, 2]), 0, cap_b)
-                    i_loc = ga[:, 3]
-                    av = lax.bitcast_convert_type(ga[:, 1], jnp.float32)
-                    b_pack = jnp.stack(
-                        [bix, lax.bitcast_convert_type(bv, jnp.int32)], axis=1
-                    )
-                    gb = b_pack[b_pos]
-                    k_col = gb[:, 0]
-                    v = av * lax.bitcast_convert_type(gb[:, 1], jnp.float32)
-                else:
-                    start_f = lax.cummax(zeros_e.at[seed_pos].set(starts, mode="drop"))
-                    i_loc = lax.cummax(zeros_e.at[seed_pos].set(a_rows, mode="drop"))
-                    b_pos = jnp.clip(bp0_entry[src] + (e - start_f), 0, cap_b)
-                    k_col = bix[b_pos]
-                    v = a_v[src] * bv[b_pos]
-                valid = e < total
+                i_loc, k_col, v, valid = _expand_block_partials(
+                    slot,
+                    a_live,
+                    a_rows,
+                    a_ix,
+                    a_v,
+                    b_ip_c.reshape(-1),
+                    b_ix_c.reshape(-1),
+                    b_v_c.reshape(-1),
+                    col0,
+                    kb,
+                    e_step,
+                    f32,
+                )
                 if symmetric:
                     valid = valid & (k_col >= i_loc + row0)
                 i_out = jnp.where(valid, i_loc, BIG)
@@ -801,6 +822,185 @@ def spgemm_csr_distributed_sparse(
 
 
 # ---------------------------------------------------------------------------
+# Sparse distributed triple product: H . Q . H^T without densifying H or Q.
+#
+# The dense triple-product ring below densifies every shard's H and Q panels
+# (rows_pad x k), which caps it at problems whose dense panels fit per-chip
+# HBM.  For SURVEY section-5-scale sparse H/Q this path computes
+# T = H.Q with the sparse-local-contraction ring (never densified), then
+# C = T.H^T as a SECOND sparse ring: H^T row blocks (contraction dim k)
+# ring-rotate as packed CSR, each step ESC-expands the matching T columns
+# and scatter-adds the partials straight into the per-shard DENSE C panel
+# (rows_pad x m) -- the only dense object, and it scales with the OUTPUT,
+# not with k.  Step capacity comes from a device-side symbolic count pass
+# (one tiny dispatch), the TPU-native analogue of the reference's two-phase
+# sizing.  Reference: /root/reference/src/sparse_sparse_dense.cpp:141-249.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _triple_count_jit(mesh: Mesh):
+    """Per-(shard, ring-step) partial-product counts for the second ring:
+    counts[s][j] = sum of nnz(H^T row col) over T-shard-s entries whose
+    column lies in H^T block j."""
+    (axis,) = mesh.axis_names
+    s_count = mesh.devices.size
+
+    @jax.jit
+    def fn(t_indptrs, t_indices, nnzht_pad):
+        kb = nnzht_pad.shape[0] // s_count
+
+        def local(t_ip2, t_ix2, nz):
+            t_ip = t_ip2.reshape(-1)
+            t_ix = t_ix2.reshape(-1)
+            cap = t_ix.shape[0]
+            slot = jnp.arange(cap, dtype=INDEX_DTYPE)
+            live = slot < t_ip[-1]
+            safe = jnp.clip(t_ix, 0, nz.shape[0] - 1)
+            w = jnp.where(live, nz[safe], 0)
+            blk = jnp.clip(safe // kb, 0, s_count - 1)
+            counts = jnp.zeros(s_count, INDEX_DTYPE).at[blk].add(w)
+            return counts[None]
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P()),
+            out_specs=P(axis, None),
+        )(t_indptrs, t_indices, nnzht_pad)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _triple_sparse_jit(mesh: Mesh, e_step: int, full: bool):
+    (axis,) = mesh.axis_names
+    s_count = mesh.devices.size
+
+    @jax.jit
+    def fn(t: ShardedCSR, ht: ShardedCSR):
+        m, k = t.shape
+        m_out = ht.shape[1]
+        kb = ht.rows_pad
+        rows_pad = t.rows_pad
+        bounds_arr = jnp.asarray(t.row_bounds, INDEX_DTYPE)
+        val_dtype = jnp.result_type(t.values.dtype, ht.values.dtype)
+
+        def local(t_ip2, t_ix2, t_v2, h_ip2, h_ix2, h_v2):
+            t_ip = t_ip2.reshape(-1)
+            t_ix = t_ix2.reshape(-1)
+            t_v = t_v2.reshape(-1)
+            my = lax.axis_index(axis)
+            row0 = bounds_arr[my]
+            cap_t = t_ix.shape[0]
+            slot = jnp.arange(cap_t, dtype=INDEX_DTYPE)
+            nnz_t = t_ip[-1]
+            rid = jnp.searchsorted(t_ip, slot, side="right").astype(INDEX_DTYPE) - 1
+            t_rows = jnp.where(slot < nnz_t, rid, 0)
+            t_live = slot < nnz_t
+            perm = [(i, (i - 1) % s_count) for i in range(s_count)]
+            f32 = val_dtype == jnp.float32
+            acc0 = _device_varying(jnp.zeros(rows_pad * m_out, val_dtype), axis)
+
+            def body(s, carry):
+                h_ip_c, h_ix_c, h_v_c, acc = carry
+                j = (my + s) % s_count
+                col0 = (j * kb).astype(INDEX_DTYPE)
+                i_loc, k_col, v, valid = _expand_block_partials(
+                    slot,
+                    t_live,
+                    t_rows,
+                    t_ix,
+                    t_v,
+                    h_ip_c.reshape(-1),
+                    h_ix_c.reshape(-1),
+                    h_v_c.reshape(-1),
+                    col0,
+                    kb,
+                    e_step,
+                    f32,
+                )
+                if not full:
+                    # Upper triangle in GLOBAL coordinates, filtered during
+                    # expansion (halves the scatter work vs mirror-later).
+                    valid = valid & (k_col >= i_loc + row0)
+                pos = jnp.where(
+                    valid, i_loc * m_out + k_col, jnp.asarray(rows_pad * m_out, INDEX_DTYPE)
+                )
+                acc = acc.at[pos].add(jnp.where(valid, v, 0), mode="drop")
+                h_ip_n = lax.ppermute(h_ip_c, axis, perm)
+                h_ix_n = lax.ppermute(h_ix_c, axis, perm)
+                h_v_n = lax.ppermute(h_v_c, axis, perm)
+                return (h_ip_n, h_ix_n, h_v_n, acc)
+
+            (_, _, _, acc) = lax.fori_loop(
+                0, s_count, body, (h_ip2, h_ix2, h_v2, acc0)
+            )
+            return acc.reshape(rows_pad, m_out)
+
+        c = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None),) * 6,
+            out_specs=P(axis, None),
+        )(t.indptrs, t.indices, t.values, ht.indptrs, ht.indices, ht.values)
+        return c[:m]
+
+    return fn
+
+
+def triple_product_distributed_sparse(
+    h,
+    q,
+    compute_full_matrix: int = 0,
+    mesh: Optional[Mesh] = None,
+    expand_step_capacity: int | None = None,
+):
+    """Fused distributed ``H . Q . H^T`` for LARGE-SPARSE operands.
+
+    Neither H nor Q is ever densified: ``T = H.Q`` runs the
+    sparse-local-contraction ring, then ``C = T.H^T`` runs a second sparse
+    ring over row-sharded H^T with dense per-shard accumulation into the
+    (rows_pad x m) output panel -- the only dense object, sized by the
+    OUTPUT, not by the contraction dimension.  The second ring's static
+    step capacity comes from a device-side symbolic count dispatch unless
+    supplied.  Returns the dense (m, m) product (upper triangle, or full
+    with ``compute_full_matrix=1``), like :func:`triple_product_distributed`.
+    """
+    from ..config import get_config
+
+    mesh = mesh or row_mesh()
+    s_count = mesh.devices.size
+    h_sp = _as_scipy(h)
+    m, k = h_sp.shape
+    rows_pad = -(-m // s_count)
+    itemsize = 8 if jax.config.jax_enable_x64 else 4
+    budget = get_config().dense_shard_budget_bytes
+    if rows_pad * m * itemsize > budget:
+        raise ValueError(
+            f"sparse triple product accumulates a dense ({rows_pad} x {m}) "
+            f"C panel per shard = {rows_pad * m * itemsize} bytes, over "
+            f"dense_shard_budget_bytes={budget}; raise the budget or add "
+            "devices (the panel shrinks as rows_pad = ceil(m / devices))"
+        )
+    t = spgemm_csr_distributed_sparse(h_sp, q, mesh=mesh, balance="rows")
+    ht_sp = h_sp.T.tocsr()
+    ht = shard_csr(ht_sp, mesh)
+    _check_operands(t, ht)
+    if expand_step_capacity is None:
+        kb = ht.rows_pad
+        nnzht = np.zeros(s_count * kb, np.int32)
+        nnzht[:k] = np.diff(ht_sp.indptr)
+        counts = np.asarray(
+            _triple_count_jit(mesh)(t.indptrs, t.indices, jnp.asarray(nnzht))
+        )
+        expand_step_capacity = bucket_capacity(max(int(counts.max()), 1))
+    return _triple_sparse_jit(
+        mesh, int(expand_step_capacity), bool(compute_full_matrix)
+    )(t, ht)
+
+
+# ---------------------------------------------------------------------------
 # Fused distributed triple product H . Q . H^T.
 # ---------------------------------------------------------------------------
 
@@ -874,8 +1074,32 @@ def triple_product_distributed(
     gathered, never sparse-materialized), mirroring the reference's fused
     contract (``/root/reference/src/sparse_sparse_dense.cpp:141-249``)
     without its O(threads . n^2) thread-local copies.
+
+    Host-side operands whose dense shard panels would exceed
+    :attr:`Config.dense_shard_budget_bytes` auto-dispatch to
+    :func:`triple_product_distributed_sparse` (no densification of H or Q;
+    the mesh then scales with nnz and with the OUTPUT size).
     """
     mesh = mesh or row_mesh()
+    if not isinstance(h, ShardedCSR):
+        from ..config import get_config
+
+        h_probe = _as_scipy(h)
+        s_count = mesh.devices.size
+        m, k = h_probe.shape
+        rows_pad = -(-m // s_count)
+        kb = -(-k // s_count)
+        k_pad = max(s_count * kb, k)
+        itemsize = 8 if jax.config.jax_enable_x64 else 4
+        # Dense working set per shard: H panel + Q block + T panel + C block.
+        panel_bytes = (
+            rows_pad * k_pad * 2 + kb * k + rows_pad * s_count * rows_pad
+        ) * itemsize
+        if panel_bytes > get_config().dense_shard_budget_bytes:
+            return triple_product_distributed_sparse(
+                h_probe, q, compute_full_matrix, mesh=mesh
+            )
+        h = h_probe
     h = _shard(h, mesh)
     q = _shard(q, mesh)
     _check_operands(h, q)

@@ -177,3 +177,93 @@ def test_fewer_rows_than_devices_flop_balance(mesh):
     np.testing.assert_allclose(
         out.to_scipy().toarray(), (a @ b).toarray(), rtol=1e-10, atol=1e-12
     )
+
+
+def test_sparse_triple_product_matches_scipy(mesh):
+    from sparse_matrix_mult_tpu.parallel.distributed import (
+        triple_product_distributed_sparse,
+    )
+
+    H = sp.random(60, 200, density=0.05, format="csr", random_state=41)
+    Q = sp.random(200, 200, density=0.05, format="csr", random_state=42)
+    ref = (H @ Q @ H.T).toarray()
+    upper = np.asarray(triple_product_distributed_sparse(H, Q, 0, mesh=mesh))
+    np.testing.assert_allclose(upper, np.triu(ref), rtol=1e-10, atol=1e-12)
+    full = np.asarray(triple_product_distributed_sparse(H, Q, 1, mesh=mesh))
+    np.testing.assert_allclose(full, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_triple_product_auto_dispatches_to_sparse(mesh):
+    from sparse_matrix_mult_tpu.config import get_config, set_config
+    from sparse_matrix_mult_tpu.parallel.distributed import (
+        triple_product_distributed,
+    )
+
+    H = sp.random(40, 160, density=0.05, format="csr", random_state=43)
+    Q = sp.random(160, 160, density=0.05, format="csr", random_state=44)
+    ref = np.triu((H @ Q @ H.T).toarray())
+    saved = get_config().dense_shard_budget_bytes
+    try:
+        # Big enough for the (5 x 40) C panel, far too small for the dense
+        # (5 x 160) H/Q/T panels: must take the sparse path.
+        set_config(dense_shard_budget_bytes=40 * 40 * 8)
+        got = np.asarray(triple_product_distributed(H, Q, 0, mesh=mesh))
+    finally:
+        set_config(dense_shard_budget_bytes=saved)
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_sparse_triple_product_never_densifies(mesh):
+    """SURVEY section-5-shaped H/Q: dense shard panels would blow a 64 MB
+    per-device budget; the sparse triple product's compiled program must
+    stay under it and match scipy."""
+    from sparse_matrix_mult_tpu.parallel.distributed import (
+        _triple_count_jit,
+        _triple_sparse_jit,
+        spgemm_csr_distributed_sparse,
+    )
+    from sparse_matrix_mult_tpu.utils.testing import hypersparse_random
+
+    S = mesh.devices.size
+    m, k = 2000, 40_000
+    H = hypersparse_random(m, k, 20_000, seed=31)
+    Q = hypersparse_random(k, k, 40_000, seed=32)
+    budget = 64 << 20
+    itemsize = 8 if jax.config.jax_enable_x64 else 4
+    dense_h_panel = (m // S) * k * itemsize
+    assert dense_h_panel * 2 > budget  # the dense path could not fit H+T
+
+    t = spgemm_csr_distributed_sparse(H, Q, mesh=mesh, balance="rows")
+    ht_sp = H.T.tocsr()
+    ht = shard_csr(ht_sp, row_mesh())
+    kb = ht.rows_pad
+    nnzht = np.zeros(S * kb, np.int32)
+    nnzht[:k] = np.diff(ht_sp.indptr)
+    import jax.numpy as jnp
+
+    counts = np.asarray(_triple_count_jit(mesh)(t.indptrs, t.indices, jnp.asarray(nnzht)))
+    e_step = bucket_capacity(max(int(counts.max()), 1))
+    fn = _triple_sparse_jit(mesh, e_step, False)
+    compiled = fn.lower(t, ht).compile()
+    mem = compiled.memory_analysis()
+    if mem is not None and getattr(mem, "temp_size_in_bytes", 0):
+        assert mem.temp_size_in_bytes < budget
+    got = np.asarray(fn(t, ht))
+    ref = np.triu((H @ Q @ H.T).toarray())
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-10)
+
+
+def test_sparse_triple_product_budget_gate(mesh):
+    from sparse_matrix_mult_tpu.config import get_config, set_config
+    from sparse_matrix_mult_tpu.parallel.distributed import (
+        triple_product_distributed_sparse,
+    )
+
+    H = sp.random(64, 64, density=0.1, format="csr", random_state=45)
+    saved = get_config().dense_shard_budget_bytes
+    try:
+        set_config(dense_shard_budget_bytes=16)
+        with pytest.raises(ValueError, match="dense_shard_budget_bytes"):
+            triple_product_distributed_sparse(H, H, 0, mesh=mesh)
+    finally:
+        set_config(dense_shard_budget_bytes=saved)
