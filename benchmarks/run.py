@@ -153,10 +153,18 @@ def bench_config(n_rows: int, n_cols: int, density: float) -> list[dict]:
             row.update(extra)
         results.append(row)
 
-    # scipy oracle timings (host CPU)
+    # scipy oracle timings (host CPU).  Two sparse baselines: raw A@B
+    # (scipy leaves per-row column order unsorted) and A@B + sort_indices
+    # -- the like-for-like pipeline for this API's sorted-indices output
+    # contract.  Both are reported; speedup_vs_scipy stays the raw one.
     t0 = time.perf_counter()
     c_sp = rng_a @ rng_b
     t_scipy_sparse = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _sorted = rng_a @ rng_b
+    _sorted.sort_indices()
+    t_scipy_sparse_sorted = time.perf_counter() - t0
+    del _sorted
     t0 = time.perf_counter()
     _ = (rng_a @ rng_b).toarray()
     t_scipy_dense = time.perf_counter() - t0
@@ -212,8 +220,12 @@ def bench_config(n_rows: int, n_cols: int, density: float) -> list[dict]:
     def _record_api(name, fn, scipy_s, nnz_out):
         t_api = _time_host(fn)
         route = smm.get_last_route()
+        sorted_extra = {
+            "scipy_sorted_seconds": round(t_scipy_sparse_sorted, 5),
+            "speedup_vs_scipy_sorted": round(t_scipy_sparse_sorted / t_api, 2),
+        }
         if route == "host":
-            record(name, t_api, scipy_s, {"route": route}, on_device=False)
+            record(name, t_api, scipy_s, {"route": route, **sorted_extra}, on_device=False)
             return
         # Device routes move the result over the measurement link; estimate
         # the transferred bytes (mirroring the API's own download-format
@@ -240,6 +252,7 @@ def bench_config(n_rows: int, n_cols: int, density: float) -> list[dict]:
                 "link_bw_mb_s": round(link_bandwidth() / 1e6, 1),
                 "seconds_minus_link": round(adj, 5),
                 "speedup_vs_scipy_net_link": round(scipy_s / adj, 2),
+                **sorted_extra,
             },
         )
 
@@ -328,6 +341,61 @@ def bench_hypersparse() -> list[dict]:
             "speedup_host_vs_scipy": round(t_scipy / t_host, 2),
             "backend": jax.default_backend(),
         })
+
+        # Device-RESIDENT engine row: operands already in HBM, result stays
+        # in HBM (the production pipeline shape) -- the windowed ESC engine
+        # with fine capacities, K iterations chained in one dispatch with a
+        # checksum (the tunneled chip reports buffers ready early).
+        from jax import lax
+
+        from sparse_matrix_mult_tpu.ops.spgemm_jnp import (
+            expansion_size,
+            spgemm_esc_windowed,
+            windowed_plan,
+        )
+        from sparse_matrix_mult_tpu.utils.transfer import fine_capacity
+
+        expand = expansion_size(A.indices, A.nnz, B.indptr)
+        plan = windowed_plan(A.nnz, np.diff(B.indptr)[A.indices], expand)
+        w, tail = plan if plan is not None else (None, 0)
+        a_d = smm.from_scipy(A, dtype=jnp.float32, capacity=fine_capacity(A.nnz)).block_until_ready()
+        b_d = smm.from_scipy(B, dtype=jnp.float32, capacity=fine_capacity(B.nnz)).block_until_ready()
+        EC = fine_capacity(expand)
+        OC = fine_capacity(nnz_c)
+        TC = fine_capacity(tail) if tail else 0
+        K = 4
+        import dataclasses as _dc
+
+        def loop(a_, b_):
+            def body(t, carry):
+                a2 = _dc.replace(a_, values=a_.values.at[0].add(carry * 0))
+                c = spgemm_esc_windowed(
+                    a2, b_, window=w, expand_capacity=EC,
+                    tail_capacity=TC, out_capacity=OC,
+                )
+                return c.values[0] + c.indptr[-1].astype(jnp.float32) * 1e-6
+            return lax.fori_loop(0, K, body, jnp.float32(0))
+
+        if plan is not None:
+            f = jax.jit(loop)
+            float(f(a_d, b_d))  # compile + warm
+            t0 = time.perf_counter()
+            float(f(a_d, b_d))
+            t_res = (time.perf_counter() - t0) / K
+            rows.append({
+                "config": f"{n}x{n}_d{density}",
+                "routine": "device_resident_esc_windowed",
+                "window": w,
+                "seconds": round(t_res, 5),
+                "n_partials": int(expand),
+                "m_partials_per_s_device": round(expand / t_res / 1e6, 1),
+                "nnz_per_s_device": round(nnz_c / t_res, 1),
+                "host_kernel_seconds": round(t_host, 5),
+                "m_partials_per_s_host_inprocess": round(expand / t_host / 1e6, 1),
+                "speedup_vs_host_kernel": round(t_host / t_res, 2),
+                "speedup_vs_scipy_compute": round(t_scipy / t_res, 2),
+                "backend": jax.default_backend(),
+            })
     return rows
 
 
@@ -337,9 +405,11 @@ def main():
     ap.add_argument("--json", default=None)
     ap.add_argument("--hypersparse", action="store_true",
                     help="also run the ESC/chunked-ESC device rows")
+    ap.add_argument("--only-hypersparse", action="store_true",
+                    help="run ONLY the hypersparse rows (skip the sweep)")
     args = ap.parse_args()
 
-    configs = QUICK if args.quick else CONFIGS
+    configs = [] if args.only_hypersparse else (QUICK if args.quick else CONFIGS)
     all_rows = []
     for cfg in configs:
         rows = bench_config(*cfg)
@@ -351,16 +421,26 @@ def main():
                 f"scipy {r['scipy_seconds']*1e3:9.2f} ms  "
                 f"({r['speedup_vs_scipy']}x)"
             )
-    if args.hypersparse:
+    if args.hypersparse or args.only_hypersparse:
         hrows = bench_hypersparse()
         all_rows.extend(hrows)
         for r in hrows:
-            print(
-                f"{r['config']:>22}  {r['routine']:<28} route={r['route']} "
-                f"{r['seconds']:8.3f} s  scipy {r['scipy_seconds']:8.3f} s  "
-                f"host {r['host_kernel_seconds']:8.3f} s  "
-                f"({r['speedup_vs_scipy']}x vs scipy)"
-            )
+            if "route" in r:
+                print(
+                    f"{r['config']:>22}  {r['routine']:<28} route={r['route']} "
+                    f"{r['seconds']:8.3f} s  scipy {r['scipy_seconds']:8.3f} s  "
+                    f"host {r['host_kernel_seconds']:8.3f} s  "
+                    f"({r['speedup_vs_scipy']}x vs scipy)"
+                )
+            else:
+                print(
+                    f"{r['config']:>22}  {r['routine']:<28} W={r['window']} "
+                    f"{r['seconds']:8.4f} s  "
+                    f"{r['m_partials_per_s_device']} M partials/s device vs "
+                    f"{r['m_partials_per_s_host_inprocess']} M/s host in-process "
+                    f"({r['speedup_vs_host_kernel']}x host, "
+                    f"{r['speedup_vs_scipy_compute']}x scipy compute)"
+                )
     if args.json:
         with open(args.json, "w") as f:
             json.dump(all_rows, f, indent=2)

@@ -101,6 +101,20 @@ def main():
             (big_a @ big_b).toarray(),
         )
 
+        # Sparse distributed triple product: H.Q.H^T with neither operand
+        # ever densified (two sparse rings; dense output panel only).
+        from sparse_matrix_mult_tpu.parallel.distributed import (
+            triple_product_distributed_sparse,
+        )
+
+        hh = sp.random(16, 48, density=0.2, format="csr", random_state=12)
+        qq = sp.random(48, 48, density=0.2, format="csr", random_state=13)
+        check(
+            "distributed sparse triple product",
+            np.asarray(triple_product_distributed_sparse(hh, qq, 1, mesh=mesh)),
+            (hh @ qq @ hh.T).toarray(),
+        )
+
     # Linear-inversion model: the reference's motivating workload, assembled.
     from sparse_matrix_mult_tpu.models.inversion import invert
 

@@ -214,20 +214,41 @@ def _fetch_full_triu(c, nnz: int):
 # ---------------------------------------------------------------------------
 
 
+# Occupancy results cached per operand object: production pipelines reuse
+# the same operand across many calls, and the O(nnz) scan costs ~0.4 ms at
+# 1000^2 -- a third of a tiny multiply.  Keyed by object identity, guarded
+# by a weakref + nnz/shape so a recycled id can never alias.
+_OCC_CACHE: dict = {}
+
+
 def block_occupancy(mat, block_size: int) -> float:
     """Fraction of nonzero (b x b) blocks in a scipy sparse matrix.
 
     O(nnz) host-side structure scan (no blocks materialized) -- the cheap
-    check that decides BSR routing.
+    check that decides BSR routing; cached per operand object.
     """
+    import weakref
+
     b = int(block_size)
+    key = (id(mat), b)
+    ent = _OCC_CACHE.get(key)
+    if ent is not None and ent[0]() is mat and ent[1] == mat.nnz and ent[2] == mat.shape:
+        return ent[3]
     m, n = mat.shape
     nbr, nbc = -(-m // b), -(-n // b)
     coo = mat.tocoo()
     if coo.nnz == 0:
         return 0.0
     keys = (coo.row // b).astype(np.int64) * nbc + (coo.col // b)
-    return np.unique(keys).size / (nbr * nbc)
+    occ = np.unique(keys).size / (nbr * nbc)
+    try:
+        ref = weakref.ref(mat)
+    except TypeError:
+        return occ
+    if len(_OCC_CACHE) > 256:
+        _OCC_CACHE.clear()
+    _OCC_CACHE[key] = (ref, mat.nnz, mat.shape, occ)
+    return occ
 
 
 def _bsr_route_ok(a_sp) -> bool:
@@ -257,12 +278,45 @@ def _bsr_product_jit(a_bsr, b: CSRMatrix, symmetric: bool):
     return c, jnp.sum(c != 0)
 
 
+@functools.partial(jax.jit, static_argnames=("symmetric",))
+def _bsr_bsr_product_jit(a_bsr, b_bsr, pa, pb, ci, cj, first, mask, symmetric: bool):
+    from .ops.pallas.bsr_spgemm import bsr_bsr_matmul_dense
+
+    c = bsr_bsr_matmul_dense(a_bsr, b_bsr, pa, pb, ci, cj, first, mask)
+    if symmetric:
+        c = jnp.triu(c)
+    return c, jnp.sum(c != 0)
+
+
 def _bsr_product_host(a_sp, b_sp, symmetric: bool):
     from .types_bsr import bsr_from_scipy
 
-    # The BSR kernel is f32-native (MXU tiles); results are upcast to f64 at
-    # the host boundary, identical to the dense path's FAST policy.
-    a_bsr = bsr_from_scipy(a_sp, get_config().block_size, dtype=jnp.float32)
+    cfg = get_config()
+    bsz = cfg.block_size
+    # The BSR kernels are f32-native (MXU tiles); results are upcast to f64
+    # at the host boundary, identical to the dense path's FAST policy.
+    a_bsr = bsr_from_scipy(a_sp, bsz, dtype=jnp.float32)
+    # BSR x BSR when B is block-sparse too AND the pair schedule does
+    # strictly less MXU work than BSR x dense (nblocks(A) * nbc tile
+    # products): both operands' zero blocks are skipped.
+    if block_occupancy(b_sp, bsz) <= cfg.bsr_occupancy_cutoff:
+        from .ops.pallas.bsr_spgemm import bsr_pair_plan
+
+        plan = bsr_pair_plan(a_sp, b_sp, bsz)
+        nbc = -(-b_sp.shape[1] // bsz)
+        if plan is not None and plan["n_pairs"] < 0.9 * plan["n_a_blocks"] * nbc:
+            b_bsr = bsr_from_scipy(b_sp, bsz, dtype=jnp.float32)
+            return _bsr_bsr_product_jit(
+                a_bsr,
+                b_bsr,
+                jnp.asarray(plan["pa"]),
+                jnp.asarray(plan["pb"]),
+                jnp.asarray(plan["ci"]),
+                jnp.asarray(plan["cj"]),
+                jnp.asarray(plan["first"]),
+                jnp.asarray(plan["mask"]),
+                symmetric,
+            )
     b = from_scipy(b_sp, dtype=jnp.float32)
     return _bsr_product_jit(a_bsr, b, symmetric)
 
@@ -525,10 +579,12 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
     cfg = get_config()
     # keep_structure bans the routes that drop computed-exact-zero entries
     # (dense extraction, BSR): host and ESC preserve Gustavson structure.
+    # NOTE: _bsr_route_ok stays behind the short-circuit -- its O(nnz)
+    # occupancy scan costs ~0.4 ms, a third of a tiny multiply.
     keep = cfg.keep_structure
-    bsr_ok = _bsr_route_ok(a_sp) and not keep
     if (expand <= cfg.host_compute_limit and not cfg.force_pallas_bsr) or (
-        _host_route_wins(expand, a_sp, b_sp) and not bsr_ok
+        _host_route_wins(expand, a_sp, b_sp)
+        and not (_bsr_route_ok(a_sp) and not keep)
     ):
         out = spgemm_host(
             a_sp, b_sp, symmetric, n_partials=expand, keep_structure=keep

@@ -328,20 +328,28 @@ def _local_dense(ip, ix, vv, rows: int, cols: int, dtype=None):
 def _ring_accumulate(a_pad, b_loc, axis: str, s_count: int, kb: int, out_dtype):
     """Core ring: rotate ``b_loc`` (one B row-block) around the mesh while
     contracting it with the matching A column slice.  ``a_pad`` is the local
-    dense A rows with columns zero-padded to ``s_count * kb``."""
+    dense A rows with columns zero-padded to ``s_count * kb``.
+
+    Overlap structure: the permute that fetches block ``s+1`` is issued
+    BEFORE the MXU contraction of block ``s`` and its result is consumed
+    only at the next loop iteration -- the two have no data dependence, so
+    XLA's async-collective pass can run the ICI transfer under the compute
+    (the standard ring-matmul latency-hiding form).  See the README
+    "distributed" notes for what is and is not hardware-validated here.
+    """
     my = lax.axis_index(axis)
     rows_loc = a_pad.shape[0]
     perm = [(i, (i - 1) % s_count) for i in range(s_count)]
 
     def body(s, carry):
         b_cur, acc = carry
+        b_next = lax.ppermute(b_cur, axis, perm)  # in flight during the dot
         j = ((my + s) % s_count).astype(jnp.int32)
         zero = jnp.zeros((), jnp.int32)
         a_blk = lax.dynamic_slice(a_pad, (zero, j * kb), (rows_loc, kb))
         acc = acc + jnp.dot(
             a_blk, b_cur, precision="highest", preferred_element_type=acc.dtype
         )
-        b_next = lax.ppermute(b_cur, axis, perm)
         return (b_next, acc)
 
     acc0 = jnp.zeros((rows_loc, b_loc.shape[1]), dtype=out_dtype)
@@ -683,6 +691,11 @@ def _spgemm_sparse_jit(
 
             def body(s, carry):
                 b_ip_c, b_ix_c, b_v_c, rows_buf, cols_buf, vals_buf = carry
+                # Next block's permutes first: no data dependence on this
+                # step's expansion, so the ICI transfer can overlap it.
+                b_ip_n = lax.ppermute(b_ip_c, axis, perm)
+                b_ix_n = lax.ppermute(b_ix_c, axis, perm)
+                b_v_n = lax.ppermute(b_v_c, axis, perm)
                 j = (my + s) % s_count
                 col0 = (j * kb).astype(INDEX_DTYPE)
                 # ESC expand into this step's static segment (cummax
@@ -710,9 +723,6 @@ def _spgemm_sparse_jit(
                 rows_buf = lax.dynamic_update_slice(rows_buf, i_out, (off,))
                 cols_buf = lax.dynamic_update_slice(cols_buf, k_out, (off,))
                 vals_buf = lax.dynamic_update_slice(vals_buf, v_out, (off,))
-                b_ip_n = lax.ppermute(b_ip_c, axis, perm)
-                b_ix_n = lax.ppermute(b_ix_c, axis, perm)
-                b_v_n = lax.ppermute(b_v_c, axis, perm)
                 return (b_ip_n, b_ix_n, b_v_n, rows_buf, cols_buf, vals_buf)
 
             (_, _, _, rows_buf, cols_buf, vals_buf) = lax.fori_loop(
@@ -904,6 +914,9 @@ def _triple_sparse_jit(mesh: Mesh, e_step: int, full: bool):
 
             def body(s, carry):
                 h_ip_c, h_ix_c, h_v_c, acc = carry
+                h_ip_n = lax.ppermute(h_ip_c, axis, perm)
+                h_ix_n = lax.ppermute(h_ix_c, axis, perm)
+                h_v_n = lax.ppermute(h_v_c, axis, perm)
                 j = (my + s) % s_count
                 col0 = (j * kb).astype(INDEX_DTYPE)
                 i_loc, k_col, v, valid = _expand_block_partials(
@@ -928,9 +941,6 @@ def _triple_sparse_jit(mesh: Mesh, e_step: int, full: bool):
                     valid, i_loc * m_out + k_col, jnp.asarray(rows_pad * m_out, INDEX_DTYPE)
                 )
                 acc = acc.at[pos].add(jnp.where(valid, v, 0), mode="drop")
-                h_ip_n = lax.ppermute(h_ip_c, axis, perm)
-                h_ix_n = lax.ppermute(h_ix_c, axis, perm)
-                h_v_n = lax.ppermute(h_v_c, axis, perm)
                 return (h_ip_n, h_ix_n, h_v_n, acc)
 
             (_, _, _, acc) = lax.fori_loop(
@@ -1032,6 +1042,7 @@ def _triple_product_jit(mesh: Mesh):
 
             def body(s, carry):
                 h_cur, acc = carry
+                h_next = lax.ppermute(h_cur, axis, perm)  # overlaps the dot
                 j = ((my + s) % s_count).astype(jnp.int32)
                 blk = jnp.dot(
                     t_pad,
@@ -1042,7 +1053,6 @@ def _triple_product_jit(mesh: Mesh):
                 acc = lax.dynamic_update_slice(
                     acc, blk, (jnp.zeros((), jnp.int32), j * rows_pad)
                 )
-                h_next = lax.ppermute(h_cur, axis, perm)
                 return (h_next, acc)
 
             acc0 = jnp.zeros((rows_pad, s_count * rows_pad), out_dtype)

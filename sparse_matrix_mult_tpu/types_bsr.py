@@ -87,6 +87,27 @@ class BSRMatrix:
         return self
 
 
+def _tobsr_padded(mat, block_size: int):
+    """scipy matrix -> scipy BSR with the logical shape padded to block
+    multiples and sorted block indices.  Shared by :func:`bsr_from_scipy`
+    and the BSR x BSR pair planner so block SLOT ids always line up."""
+    import scipy.sparse as sp
+
+    if not sp.issparse(mat):
+        mat = sp.csr_matrix(np.asarray(mat))
+    rows, cols = map(int, mat.shape)
+    b = int(block_size)
+    if rows % b == 0 and cols % b == 0:
+        bs = mat.tobsr(blocksize=(b, b))
+    else:
+        rp, cp = -(-rows // b) * b, -(-cols // b) * b
+        coo = mat.tocoo()
+        mat = sp.csr_matrix((coo.data, (coo.row, coo.col)), shape=(rp, cp))
+        bs = mat.tobsr(blocksize=(b, b))
+    bs.sort_indices()
+    return bs
+
+
 def bsr_from_scipy(mat, block_size: int = 128, dtype=None, block_capacity=None):
     """Host ingestion: any scipy sparse matrix -> device BSRMatrix."""
     import scipy.sparse as sp
@@ -95,13 +116,7 @@ def bsr_from_scipy(mat, block_size: int = 128, dtype=None, block_capacity=None):
         mat = sp.csr_matrix(np.asarray(mat))
     rows, cols = map(int, mat.shape)
     b = int(block_size)
-    bs = mat.tobsr(blocksize=(b, b)) if (rows % b == 0 and cols % b == 0) else None
-    if bs is None:
-        # Pad the logical shape up to block multiples first.
-        rp, cp = -(-rows // b) * b, -(-cols // b) * b
-        mat = sp.csr_matrix((mat.tocoo().data, (mat.tocoo().row, mat.tocoo().col)), shape=(rp, cp))
-        bs = mat.tobsr(blocksize=(b, b))
-    bs.sort_indices()
+    bs = _tobsr_padded(mat, b)
     nblocks = int(bs.indptr[-1])
     cap = block_capacity if block_capacity is not None else max(1, bucket_capacity(nblocks, minimum=1))
     if cap < nblocks:

@@ -155,3 +155,94 @@ def test_block_occupancy_estimator():
     assert block_occupancy(sp.csr_matrix(ad), 128) == 0.25
     assert block_occupancy(sp.csr_matrix(np.zeros((256, 256))), 128) == 0.0
     assert block_occupancy(sp.csr_matrix(np.ones((256, 256))), 128) == 1.0
+
+
+@pytest.mark.parametrize("nbr,nbk,nbc,occ_a,occ_b", [
+    (3, 4, 3, 0.5, 0.4),
+    (4, 3, 5, 0.25, 0.25),
+    (2, 2, 2, 1.0, 1.0),
+])
+def test_bsr_bsr_matmul_matches_numpy(nbr, nbk, nbc, occ_a, occ_b):
+    from sparse_matrix_mult_tpu.ops.pallas.bsr_spgemm import (
+        bsr_bsr_matmul_dense,
+        bsr_pair_plan,
+    )
+
+    ad = block_sparse(nbr, nbk, occ_a, seed=7 * nbr + nbk)
+    bd = block_sparse(nbk, nbc, occ_b, seed=11 * nbk + nbc)
+    a_sp, b_sp = sp.csr_matrix(ad), sp.csr_matrix(bd)
+    plan = bsr_pair_plan(a_sp, b_sp, 128)
+    if plan is None:
+        assert (np.abs(ad).sum() == 0) or (np.abs(bd).sum() == 0)
+        return
+    a_bsr = bsr_from_scipy(a_sp, 128, dtype=jnp.float32)
+    b_bsr = bsr_from_scipy(b_sp, 128, dtype=jnp.float32)
+    got = np.asarray(
+        bsr_bsr_matmul_dense(
+            a_bsr,
+            b_bsr,
+            jnp.asarray(plan["pa"]),
+            jnp.asarray(plan["pb"]),
+            jnp.asarray(plan["ci"]),
+            jnp.asarray(plan["cj"]),
+            jnp.asarray(plan["first"]),
+            jnp.asarray(plan["mask"]),
+        )
+    )
+    ref = ad @ bd
+    assert got.shape == ref.shape
+    assert np.allclose(got, ref, rtol=1e-4, atol=1e-4)
+    # Fewer MXU tile products than BSR x dense would run.
+    assert plan["n_pairs"] <= plan["n_a_blocks"] * nbc
+
+
+def test_bsr_bsr_nonmultiple_shapes():
+    from sparse_matrix_mult_tpu.ops.pallas.bsr_spgemm import (
+        bsr_bsr_matmul_dense,
+        bsr_pair_plan,
+    )
+
+    rng = np.random.default_rng(5)
+    ad = np.zeros((200, 300), np.float32)
+    ad[:100, :130] = rng.standard_normal((100, 130)).astype(np.float32)
+    bd = np.zeros((300, 250), np.float32)
+    bd[:130, 128:] = rng.standard_normal((130, 122)).astype(np.float32)
+    a_sp, b_sp = sp.csr_matrix(ad), sp.csr_matrix(bd)
+    plan = bsr_pair_plan(a_sp, b_sp, 128)
+    a_bsr = bsr_from_scipy(a_sp, 128, dtype=jnp.float32)
+    b_bsr = bsr_from_scipy(b_sp, 128, dtype=jnp.float32)
+    got = np.asarray(
+        bsr_bsr_matmul_dense(
+            a_bsr, b_bsr,
+            jnp.asarray(plan["pa"]), jnp.asarray(plan["pb"]),
+            jnp.asarray(plan["ci"]), jnp.asarray(plan["cj"]),
+            jnp.asarray(plan["first"]), jnp.asarray(plan["mask"]),
+        )
+    )
+    assert np.allclose(got, ad @ bd, rtol=1e-4, atol=1e-4)
+
+
+def test_api_routes_bsr_bsr_when_both_block_sparse(forced_bsr):
+    import sparse_matrix_mult_tpu as smm
+
+    ad = block_sparse(4, 4, 0.25, seed=1)
+    bd = block_sparse(4, 4, 0.25, seed=2)
+    got = smm.sparse_matrix_multiply(
+        sp.csr_matrix(ad), sp.csr_matrix(bd), output_format="dense"
+    )
+    assert smm.get_last_route() == "bsr"
+    assert np.allclose(got, ad @ bd, rtol=1e-4, atol=1e-4)
+
+
+def test_block_occupancy_cache():
+    import sparse_matrix_mult_tpu.api as api
+
+    m = sp.csr_matrix(block_sparse(3, 3, 0.5, seed=9))
+    occ1 = api.block_occupancy(m, 128)
+    assert (id(m), 128) in api._OCC_CACHE
+    occ2 = api.block_occupancy(m, 128)
+    assert occ1 == occ2
+    # Mutating nnz invalidates the entry.
+    m2 = m.copy()
+    occ3 = api.block_occupancy(m2, 128)
+    assert occ3 == occ1
