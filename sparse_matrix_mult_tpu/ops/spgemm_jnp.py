@@ -15,14 +15,16 @@ data-dependent scatter loops map onto XLA/TPU.  The TPU-native formulation is
    per column at 4M), while data-dependent gathers are the dominant cost
    of any sparse kernel on this hardware.
 2. *Sort*    -- one device-wide key sort (``lax.sort_key_val``).
-3. *Compress*-- segment boundaries -> ``cumsum`` -> scatter-add duplicates into
-   the output slot of their key; row pointers by binary search over the
-   (row-major sorted) output rows.  This replaces both the per-thread
-   partials and the serial stitch of the reference orchestrators
-   (``sparse_sparse_sparse.cpp:90-150``) with one device-side prefix sum.
+3. *Compress*-- (v2) shifted-add dedup network + compaction sort; see
+   :func:`esc_sort_compress`.  This replaces both the per-thread partials
+   and the serial stitch of the reference orchestrators
+   (``sparse_sparse_sparse.cpp:90-150``).
 
-v5e, 40k x 40k hypersparse (2.56M partials): 1.47 s (searchsorted + six
-separate gathers) -> 0.23 s (this formulation), exact structure either way.
+v5e, 40k x 40k hypersparse (2.56M partials): 1.47 s (round 2: searchsorted
++ six separate gathers) -> 0.23 s (round 3: cummax + packed gathers) ->
+85 ms (round 4: compress v2) -> 72 ms with the windowed expansion below
+(:func:`spgemm_esc_windowed`), vs ~65-100 ms for the 2-core in-process host
+OpenMP kernel.  Exact structure throughout.
 
 Everything is static-shape: callers supply ``expand_capacity`` (>= total
 partial products) and ``out_capacity`` (>= nnz(C)); the host API computes

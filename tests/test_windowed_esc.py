@@ -119,11 +119,15 @@ def test_symmetric_filter():
 
 def test_symmetric_row_offset():
     # Chunked callers pass a global row offset; the filter must use it.
+    import jax
+
     a, b = _pair(60, 80, 60, 0.05, 0.05, seed=5)
     got = _run(a, b, window=8, symmetric=True, row_offset=10)
     ref = np.asarray((a @ b).toarray())
     mask = np.arange(60)[None, :] >= (np.arange(60) + 10)[:, None]
-    np.testing.assert_allclose(got.toarray(), ref * mask, rtol=0, atol=0)
+    exact = jax.default_backend() == "cpu" and jax.config.jax_enable_x64
+    tol = dict(rtol=0, atol=0) if exact else dict(rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(got.toarray(), ref * mask, **tol)
 
 
 def test_two_key_large_output_space():
@@ -138,12 +142,16 @@ def test_two_key_large_output_space():
     a.sum_duplicates()
     a.sort_indices()
     assert m * m >= 2**31
+    import jax
+
     got = _run(a, a, window=8)
     ref = a @ a
     ref.sort_indices()
-    np.testing.assert_allclose(got.toarray()[:0], ref.toarray()[:0])  # shape guard
-    diff = (got - ref)
-    assert abs(diff).max() == 0
+    diff = abs(got - ref).max()
+    if jax.default_backend() == "cpu" and jax.config.jax_enable_x64:
+        assert diff == 0
+    else:
+        assert diff < 1e-5  # f32 pipeline on accelerators
 
 
 def test_f32_policy_dtype():
