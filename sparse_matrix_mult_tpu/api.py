@@ -231,9 +231,10 @@ def block_occupancy(mat, block_size: int) -> float:
 
     b = int(block_size)
     key = (id(mat), b)
+    fp = _structure_fingerprint(mat)
     ent = _OCC_CACHE.get(key)
-    if ent is not None and ent[0]() is mat and ent[1] == mat.nnz and ent[2] == mat.shape:
-        return ent[3]
+    if ent is not None and ent[0]() is mat and ent[1] == fp:
+        return ent[2]
     m, n = mat.shape
     nbr, nbc = -(-m // b), -(-n // b)
     coo = mat.tocoo()
@@ -247,8 +248,22 @@ def block_occupancy(mat, block_size: int) -> float:
         return occ
     if len(_OCC_CACHE) > 256:
         _OCC_CACHE.clear()
-    _OCC_CACHE[key] = (ref, mat.nnz, mat.shape, occ)
+    _OCC_CACHE[key] = (ref, fp, occ)
     return occ
+
+
+def _structure_fingerprint(mat):
+    """Cheap structure fingerprint for the occupancy cache: nnz + shape plus
+    a few sampled index values, so in-place pattern edits that keep nnz
+    constant still invalidate (a full hash would cost as much as the scan)."""
+    idx = mat.indices
+    n = len(idx)
+    sample = (
+        (int(idx[0]), int(idx[n // 2]), int(idx[-1]), int(mat.indptr[mat.shape[0] // 2]))
+        if n
+        else ()
+    )
+    return (mat.nnz, mat.shape, sample)
 
 
 def _bsr_route_ok(a_sp) -> bool:
@@ -289,23 +304,28 @@ def _bsr_bsr_product_jit(a_bsr, b_bsr, pa, pb, ci, cj, first, mask, symmetric: b
 
 
 def _bsr_product_host(a_sp, b_sp, symmetric: bool):
-    from .types_bsr import bsr_from_scipy
+    from .types_bsr import _tobsr_padded, bsr_from_scipy
 
     cfg = get_config()
     bsz = cfg.block_size
     # The BSR kernels are f32-native (MXU tiles); results are upcast to f64
     # at the host boundary, identical to the dense path's FAST policy.
-    a_bsr = bsr_from_scipy(a_sp, bsz, dtype=jnp.float32)
+    # Each operand is tobsr-converted exactly ONCE (the O(nnz) pass is a
+    # routing-hot-path cost on this 2-core host): the padded scipy BSR is
+    # shared between the device container build and the pair planner.
+    bs_a = _tobsr_padded(a_sp, bsz)
+    a_bsr = bsr_from_scipy(a_sp, bsz, dtype=jnp.float32, padded_bsr=bs_a)
     # BSR x BSR when B is block-sparse too AND the pair schedule does
     # strictly less MXU work than BSR x dense (nblocks(A) * nbc tile
     # products): both operands' zero blocks are skipped.
     if block_occupancy(b_sp, bsz) <= cfg.bsr_occupancy_cutoff:
         from .ops.pallas.bsr_spgemm import bsr_pair_plan
 
-        plan = bsr_pair_plan(a_sp, b_sp, bsz)
+        bs_b = _tobsr_padded(b_sp, bsz)
+        plan = bsr_pair_plan(a_sp, b_sp, bsz, bs_a=bs_a, bs_b=bs_b)
         nbc = -(-b_sp.shape[1] // bsz)
         if plan is not None and plan["n_pairs"] < 0.9 * plan["n_a_blocks"] * nbc:
-            b_bsr = bsr_from_scipy(b_sp, bsz, dtype=jnp.float32)
+            b_bsr = bsr_from_scipy(b_sp, bsz, dtype=jnp.float32, padded_bsr=bs_b)
             return _bsr_bsr_product_jit(
                 a_bsr,
                 b_bsr,
@@ -734,8 +754,9 @@ def sparse_matrix_multiply(
         # problems are where that matters most relative to cost (the
         # sparse/dense outputs already route host down here).
         expand = 2 * expansion_size(matrix_a.indices, matrix_a.nnz, matrix_b.indptr)
+        _val_bytes = 4 if _upload_dtype(matrix_a, matrix_b)[0] == jnp.float32 else 8
         if expand <= get_config().host_compute_limit or _host_route_wins(
-            expand, matrix_a, matrix_b, out_bytes=8 * m * m
+            expand, matrix_a, matrix_b, out_bytes=_val_bytes * m * m
         ):
             t = matrix_a @ matrix_b
             c = (t @ matrix_a.T).toarray()
@@ -758,8 +779,11 @@ def sparse_matrix_multiply(
         cfg = get_config()
         expand = expansion_size(matrix_a.indices, matrix_a.nnz, matrix_b.indptr)
         out_elems = matrix_a.shape[0] * matrix_b.shape[1]
+        # Panel download bytes follow the RESOLVED upload dtype (f64 under
+        # CPU/x64 parity or STRICT ships 8 B/element, not 4).
+        _val_bytes = 4 if _upload_dtype(matrix_a, matrix_b)[0] == jnp.float32 else 8
         if (expand <= cfg.host_compute_limit and not cfg.force_pallas_bsr) or (
-            _host_route_wins(expand, matrix_a, matrix_b, out_bytes=4 * out_elems)
+            _host_route_wins(expand, matrix_a, matrix_b, out_bytes=_val_bytes * out_elems)
             and not _bsr_route_ok(matrix_a)
         ):
             result = spgemm_host(matrix_a, matrix_b, symmetric, n_partials=expand).toarray()

@@ -126,7 +126,7 @@ def bsr_matmul_dense(a: BSRMatrix, b_dense: jax.Array, tile_n: int = 512):
 # ---------------------------------------------------------------------------
 
 
-def bsr_pair_plan(a_sp, b_sp, block_size: int):
+def bsr_pair_plan(a_sp, b_sp, block_size: int, bs_a=None, bs_b=None):
     """Host-side block-pair schedule for ``bsr_bsr_matmul_dense``.
 
     Walks the two scipy operands' block patterns (same ``tobsr`` + sorted
@@ -140,8 +140,10 @@ def bsr_pair_plan(a_sp, b_sp, block_size: int):
     """
     from ...types_bsr import _tobsr_padded
 
-    bs_a = _tobsr_padded(a_sp, block_size)
-    bs_b = _tobsr_padded(b_sp, block_size)
+    if bs_a is None:
+        bs_a = _tobsr_padded(a_sp, block_size)
+    if bs_b is None:
+        bs_b = _tobsr_padded(b_sp, block_size)
     na = int(bs_a.indptr[-1])
     nbr = len(bs_a.indptr) - 1
     nbc = -(-b_sp.shape[1] // block_size)

@@ -278,14 +278,18 @@ def shard_csr(
     return ShardedCSR(ip, ix, vv, (m, n), bounds)
 
 
-# Instrumentation for the per-process data-locality contract: every shard
-# index a shard_csr placement callback materializes on THIS process is
-# appended here (tests assert a process touches only its own shards).
+# Instrumentation for the per-process data-locality contract: with
+# TRACK_MATERIALIZATION on, every shard index a shard_csr placement
+# callback materializes on THIS process is appended (tests flip the flag
+# and assert a process touches only its own shards).  Off by default so
+# long-lived pipelines never accumulate unbounded state.
+TRACK_MATERIALIZATION: bool = False
 MATERIALIZED_SHARDS: list = []
 
 
 def _note_materialized(s: int) -> None:
-    MATERIALIZED_SHARDS.append(int(s))
+    if TRACK_MATERIALIZATION:
+        MATERIALIZED_SHARDS.append(int(s))
 
 
 def flop_shard_bounds(a_sp, b_sp, n_shards: int) -> tuple:
@@ -992,6 +996,15 @@ def triple_product_distributed_sparse(
             f"C panel per shard = {rows_pad * m * itemsize} bytes, over "
             f"dense_shard_budget_bytes={budget}; raise the budget or add "
             "devices (the panel shrinks as rows_pad = ceil(m / devices))"
+        )
+    if rows_pad * m >= 2**31:
+        # The accumulation kernel scatters into the flattened C panel with
+        # int32 indices (x64 stays off on TPU) -- a hard ceiling the budget
+        # knob cannot lift.  Adding devices shrinks rows_pad.
+        raise ValueError(
+            f"per-shard C panel has {rows_pad * m} elements >= 2**31 (the "
+            "int32 flat-index ceiling of the scatter kernel); add devices "
+            "so rows_pad = ceil(m / devices) brings rows_pad * m under 2**31"
         )
     t = spgemm_csr_distributed_sparse(h_sp, q, mesh=mesh, balance="rows")
     ht_sp = h_sp.T.tocsr()

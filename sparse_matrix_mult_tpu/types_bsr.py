@@ -108,15 +108,21 @@ def _tobsr_padded(mat, block_size: int):
     return bs
 
 
-def bsr_from_scipy(mat, block_size: int = 128, dtype=None, block_capacity=None):
-    """Host ingestion: any scipy sparse matrix -> device BSRMatrix."""
+def bsr_from_scipy(
+    mat, block_size: int = 128, dtype=None, block_capacity=None, padded_bsr=None
+):
+    """Host ingestion: any scipy sparse matrix -> device BSRMatrix.
+
+    ``padded_bsr``: a matching :func:`_tobsr_padded` result the caller
+    already built (the BSR routing path builds one for its pair planner;
+    the O(nnz) conversion should not run twice)."""
     import scipy.sparse as sp
 
     if not sp.issparse(mat):
         mat = sp.csr_matrix(np.asarray(mat))
     rows, cols = map(int, mat.shape)
     b = int(block_size)
-    bs = _tobsr_padded(mat, b)
+    bs = padded_bsr if padded_bsr is not None else _tobsr_padded(mat, b)
     nblocks = int(bs.indptr[-1])
     cap = block_capacity if block_capacity is not None else max(1, bucket_capacity(nblocks, minimum=1))
     if cap < nblocks:

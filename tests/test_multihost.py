@@ -47,6 +47,7 @@ m = k = n = 40
 A = sp.random(m, k, density=0.2, format="csr", random_state=1)
 B = sp.random(k, n, density=0.2, format="csr", random_state=2)
 mesh = row_mesh()
+dist.TRACK_MATERIALIZATION = True
 dist.MATERIALIZED_SHARDS.clear()
 a = shard_csr(A, mesh)
 b = shard_csr(B, mesh)
