@@ -355,6 +355,7 @@ def bench_hypersparse() -> list[dict]:
 
         from sparse_matrix_mult_tpu.ops.spgemm_jnp import (
             expansion_size,
+            precompute_window_table,
             spgemm_esc_windowed,
             windowed_plan,
         )
@@ -399,6 +400,41 @@ def bench_hypersparse() -> list[dict]:
                 "m_partials_per_s_host_inprocess": round(expand / t_host / 1e6, 1),
                 "speedup_vs_host_kernel": round(t_host / t_res, 2),
                 "speedup_vs_scipy_compute": round(t_scipy / t_res, 2),
+                "backend": jax.default_backend(),
+            })
+
+            # Amortized B-reuse row: the window table built ONCE (the
+            # reference's motivating workload holds Q/H fixed across an
+            # inversion), so each call skips the K*W-index table gather.
+            tbl = precompute_window_table(b_d, w).block_until_ready()
+
+            def loop_tbl(a_, b_, tbl_):
+                def body(t, carry):
+                    a2 = _dc.replace(a_, values=a_.values.at[0].add(carry * 0))
+                    c = spgemm_esc_windowed(
+                        a2, b_, window=w, expand_capacity=EC,
+                        tail_capacity=TC, out_capacity=OC, b_table=tbl_,
+                    )
+                    return c.values[0] + c.indptr[-1].astype(jnp.float32) * 1e-6
+                return lax.fori_loop(0, K, body, jnp.float32(0))
+
+            f2 = jax.jit(loop_tbl)
+            float(f2(a_d, b_d, tbl))
+            t0 = time.perf_counter()
+            float(f2(a_d, b_d, tbl))
+            t_amo = (time.perf_counter() - t0) / K
+            rows.append({
+                "config": f"{n}x{n}_d{density}",
+                "routine": "device_resident_esc_windowed_reused_table",
+                "window": w,
+                "seconds": round(t_amo, 5),
+                "n_partials": int(expand),
+                "m_partials_per_s_device": round(expand / t_amo / 1e6, 1),
+                "nnz_per_s_device": round(nnz_c / t_amo, 1),
+                "host_kernel_seconds": round(t_host, 5),
+                "m_partials_per_s_host_inprocess": round(expand / t_host / 1e6, 1),
+                "speedup_vs_host_kernel": round(t_host / t_amo, 2),
+                "speedup_vs_scipy_compute": round(t_scipy / t_amo, 2),
                 "backend": jax.default_backend(),
             })
     return rows

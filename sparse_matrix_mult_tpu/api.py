@@ -826,6 +826,7 @@ def multiply(
     precision: str | None = None,
     window: int | None = None,
     tail_capacity: int = 0,
+    b_table=None,
 ):
     """Device-resident multiply for JAX programs (composable under ``jit``).
 
@@ -852,7 +853,8 @@ def multiply(
                 # Windowed (ELLPACK) expansion: the hypersparse fast path.
                 # Callers size window/tail from host structure stats (see
                 # ops.spgemm_jnp.windowed_plan); exact for any skew via the
-                # tail spill.
+                # tail spill.  ``b_table`` (precompute_window_table) skips
+                # the per-call table build when B is reused.
                 return spgemm_esc_windowed(
                     a,
                     b,
@@ -861,6 +863,7 @@ def multiply(
                     tail_capacity=tail_capacity,
                     out_capacity=out_capacity,
                     symmetric=symmetric,
+                    b_table=b_table,
                 )
             return spgemm_esc(
                 a,

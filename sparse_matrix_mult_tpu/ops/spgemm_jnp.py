@@ -45,6 +45,7 @@ from ..types import CSRMatrix, INDEX_DTYPE
 __all__ = [
     "spgemm_esc",
     "spgemm_esc_windowed",
+    "precompute_window_table",
     "esc_sort_compress",
     "expansion_size",
 ]
@@ -175,6 +176,39 @@ def spgemm_esc(
     return CSRMatrix(indptr=indptr, indices=indices, values=values, shape=(rows, cols))
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
+def precompute_window_table(b: CSRMatrix, window: int) -> jax.Array:
+    """Device-side windowed (ELLPACK) table of B for repeated products.
+
+    Returns the ``(K, 2 + 2W)`` int32 table ``[len | start | cols | value
+    bits]`` that :func:`spgemm_esc_windowed` builds internally (f32 values
+    only).  Pipelines that multiply many A's against one B (the reference's
+    motivating workload holds Q and H fixed across an inversion,
+    ``/root/reference/README.md:140``) can build it once and pass it as
+    ``b_table=``.  Measured caveat (v5e, committed
+    ``benchmarks/results_tpu_hyper.json``): this is a COMPOSITION
+    convenience, not a speedup -- XLA fuses the inline table build into the
+    expansion at least as well as it reads a materialized table (73 vs
+    82 ms at the 40k config), so prefer the inline path unless the table is
+    shared across differently-shaped programs.
+    """
+    if b.values.dtype != jnp.float32:
+        raise ValueError("window tables are f32-only (bitcast packing)")
+    W = int(window)
+    b_starts = b.indptr[:-1]
+    b_lens = b.indptr[1:] - b.indptr[:-1]
+    wr = jnp.arange(W, dtype=INDEX_DTYPE)
+    pos = jnp.clip(b_starts[:, None] + wr[None, :], 0, max(b.capacity - 1, 0))
+    b_pack = jnp.stack(
+        [b.indices, lax.bitcast_convert_type(b.values, jnp.int32)], axis=1
+    )
+    ell = b_pack[pos]
+    return jnp.concatenate(
+        [jnp.stack([b_lens, b_starts], axis=1), ell[:, :, 0], ell[:, :, 1]],
+        axis=1,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -195,6 +229,7 @@ def spgemm_esc_windowed(
     out_capacity: int,
     symmetric: bool = False,
     row_offset=0,
+    b_table: jax.Array | None = None,
 ) -> CSRMatrix:
     """ESC with a windowed (ELLPACK) expansion: the hypersparse fast path.
 
@@ -225,6 +260,11 @@ def spgemm_esc_windowed(
     rows, _ = a.shape
     kdim, cols = b.shape
     W = int(window)
+    if b_table is not None and b_table.shape != (kdim, 2 + 2 * W):
+        raise ValueError(
+            f"b_table shape {b_table.shape} != ({kdim}, {2 + 2 * W}); build "
+            f"it with precompute_window_table(b, window={W})"
+        )
     big = jnp.array(jnp.iinfo(jnp.int32).max, jnp.int32)
     off = jnp.asarray(row_offset, INDEX_DTYPE)
 
@@ -243,15 +283,18 @@ def spgemm_esc_windowed(
         b_pack = jnp.stack(
             [b.indices, lax.bitcast_convert_type(b.values, jnp.int32)], axis=1
         )
-        ell = b_pack[pos]  # (K, W, 2) windowed gather: K*W indices
-        tbl = jnp.concatenate(
-            [
-                jnp.stack([b_lens, b_starts], axis=1),
-                ell[:, :, 0],
-                ell[:, :, 1],
-            ],
-            axis=1,
-        )  # (K, 2 + 2W): [len | start | cols | value bits]
+        if b_table is not None:
+            tbl = b_table  # caller precomputed (precompute_window_table)
+        else:
+            ell = b_pack[pos]  # (K, W, 2) windowed gather: K*W indices
+            tbl = jnp.concatenate(
+                [
+                    jnp.stack([b_lens, b_starts], axis=1),
+                    ell[:, :, 0],
+                    ell[:, :, 1],
+                ],
+                axis=1,
+            )  # (K, 2 + 2W): [len | start | cols | value bits]
         ga = tbl[a_idx_safe]  # (cap_a, 2+2W) row gather: nnz(A) indices
         lens = jnp.where(a_valid, ga[:, 0], 0)
         start_tail = ga[:, 1] + W

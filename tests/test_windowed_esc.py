@@ -182,3 +182,77 @@ def test_windowed_plan():
     lens2 = np.diff(dense_b.indptr)[a2.indices]
     e2 = expansion_size(a2.indices, a2.nnz, dense_b.indptr)
     assert windowed_plan(a2.nnz, lens2, e2) is None
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_windowed_vs_classic_property_sweep(seed):
+    """Property sweep: for random shapes/densities/windows the windowed and
+    classic engines must agree exactly with each other (same algorithmic
+    result, different expansion machinery) and with scipy's structure."""
+    from sparse_matrix_mult_tpu.ops.spgemm_jnp import spgemm_esc
+
+    rng = np.random.default_rng(100 + seed)
+    m = int(rng.integers(20, 250))
+    k = int(rng.integers(20, 250))
+    n = int(rng.integers(20, 250))
+    da = float(rng.uniform(0.005, 0.12))
+    db = float(rng.uniform(0.005, 0.12))
+    window = int(rng.choice([2, 4, 8, 16]))
+    symmetric = bool(rng.integers(0, 2)) and m == n
+    a_sp = sp.random(m, k, density=da, format="csr", random_state=int(rng.integers(2**31)))
+    b_sp = sp.random(k, n, density=db, format="csr", random_state=int(rng.integers(2**31)))
+    e = expansion_size(a_sp.indices, a_sp.nnz, b_sp.indptr)
+    if e == 0:
+        return
+    lens = np.diff(b_sp.indptr)[a_sp.indices]
+    tail = int(np.maximum(lens - window, 0).sum())
+    a = from_scipy(a_sp)
+    b = from_scipy(b_sp)
+    out_cap = bucket_capacity(max(min(e, m * n), 1))
+    cw = to_scipy(
+        spgemm_esc_windowed(
+            a, b, window=window, expand_capacity=bucket_capacity(e),
+            tail_capacity=bucket_capacity(tail) if tail else 0,
+            out_capacity=out_cap, symmetric=symmetric,
+        )
+    )
+    cc = to_scipy(
+        spgemm_esc(
+            a, b, expand_capacity=bucket_capacity(e), out_capacity=out_cap,
+            symmetric=symmetric,
+        )
+    )
+    assert cw.nnz == cc.nnz
+    np.testing.assert_array_equal(cw.indices, cc.indices)
+    np.testing.assert_array_equal(cw.indptr, cc.indptr)
+    np.testing.assert_allclose(cw.toarray(), cc.toarray(), rtol=1e-12, atol=1e-14)
+    ref = a_sp @ b_sp
+    if symmetric:
+        ref = sp.triu(ref, format="csr")
+    ref.sort_indices()
+    assert cw.nnz == ref.nnz
+    np.testing.assert_allclose(cw.toarray(), ref.toarray(), rtol=1e-12, atol=1e-13)
+
+
+def test_precomputed_window_table_matches_inline():
+    from sparse_matrix_mult_tpu.ops.spgemm_jnp import precompute_window_table
+
+    a_sp, b_sp = _pair(200, 200, 200, 0.02, 0.02, seed=17)
+    a = from_scipy(a_sp, dtype=jnp.float32)
+    b = from_scipy(b_sp, dtype=jnp.float32)
+    e = expansion_size(a_sp.indices, a_sp.nnz, b_sp.indptr)
+    lens = np.diff(b_sp.indptr)[a_sp.indices]
+    tail = int(np.maximum(lens - 8, 0).sum())
+    kw = dict(
+        window=8,
+        expand_capacity=bucket_capacity(max(e, 1)),
+        tail_capacity=bucket_capacity(tail) if tail else 0,
+        out_capacity=bucket_capacity(max(e, 1)),
+    )
+    tbl = precompute_window_table(b, 8)
+    c1 = to_scipy(spgemm_esc_windowed(a, b, **kw))
+    c2 = to_scipy(spgemm_esc_windowed(a, b, b_table=tbl, **kw))
+    assert (abs(c1 - c2)).max() == 0
+    assert c1.nnz == c2.nnz
+    with pytest.raises(ValueError, match="b_table shape"):
+        spgemm_esc_windowed(a, b, b_table=tbl[:, :-1], **kw)
