@@ -22,9 +22,11 @@ data-dependent scatter loops map onto XLA/TPU.  The TPU-native formulation is
 
 v5e, 40k x 40k hypersparse (2.56M partials): 1.47 s (round 2: searchsorted
 + six separate gathers) -> 0.23 s (round 3: cummax + packed gathers) ->
-85 ms (round 4: compress v2) -> 72 ms with the windowed expansion below
-(:func:`spgemm_esc_windowed`), vs ~65-100 ms for the 2-core in-process host
-OpenMP kernel.  Exact structure throughout.
+85 ms (round 4: compress v2) -> 72 ms (windowed expansion below) ->
+**36-41 ms** after replacing the row-id searchsorted with marker-scatter +
+cumsum (its while-loop lowering paid a ~2.5 ms scheduling quantum per
+binary-search step on this runtime) = 63-71 M partials/s, 1.2x the 2-core
+in-process host OpenMP kernel's best case.  Exact structure throughout.
 
 Everything is static-shape: callers supply ``expand_capacity`` (>= total
 partial products) and ``out_capacity`` (>= nnz(C)); the host API computes

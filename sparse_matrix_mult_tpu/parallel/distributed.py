@@ -677,9 +677,15 @@ def _spgemm_sparse_jit(
             cap_a = a_ix.shape[0]
 
             # Local row id of every A entry (padding -> row 0, value 0).
+            # Marker scatter + cumsum, NOT searchsorted: its while-loop
+            # lowering pays a per-step scheduling quantum on this runtime
+            # (see CSRMatrix.row_ids).
             slot = jnp.arange(cap_a, dtype=INDEX_DTYPE)
             nnz_a = a_ip[-1]
-            rid = jnp.searchsorted(a_ip, slot, side="right").astype(INDEX_DTYPE) - 1
+            marker = jnp.zeros(cap_a + 1, INDEX_DTYPE).at[a_ip[1:]].add(
+                1, mode="drop"
+            )
+            rid = jnp.cumsum(marker[:cap_a], dtype=INDEX_DTYPE)
             a_rows = jnp.where(slot < nnz_a, rid, 0)
             a_live = slot < nnz_a
 
@@ -909,7 +915,10 @@ def _triple_sparse_jit(mesh: Mesh, e_step: int, full: bool):
             cap_t = t_ix.shape[0]
             slot = jnp.arange(cap_t, dtype=INDEX_DTYPE)
             nnz_t = t_ip[-1]
-            rid = jnp.searchsorted(t_ip, slot, side="right").astype(INDEX_DTYPE) - 1
+            marker = jnp.zeros(cap_t + 1, INDEX_DTYPE).at[t_ip[1:]].add(
+                1, mode="drop"
+            )
+            rid = jnp.cumsum(marker[:cap_t], dtype=INDEX_DTYPE)
             t_rows = jnp.where(slot < nnz_t, rid, 0)
             t_live = slot < nnz_t
             perm = [(i, (i - 1) % s_count) for i in range(s_count)]

@@ -77,9 +77,17 @@ class BSRMatrix:
 
     def block_rows(self) -> jax.Array:
         """Block-row id of every stored block (padding -> nbr, the dummy row
-        used by the kernel so padding never touches real output)."""
-        pos = jnp.arange(self.block_capacity, dtype=INDEX_DTYPE)
-        rid = jnp.searchsorted(self.indptr, pos, side="right") - 1
+        used by the kernel so padding never touches real output).
+
+        Marker scatter + cumsum, not searchsorted (whose while-loop lowering
+        pays a per-step scheduling quantum on the tunneled runtime; see
+        CSRMatrix.row_ids)."""
+        cap = self.block_capacity
+        pos = jnp.arange(cap, dtype=INDEX_DTYPE)
+        marker = jnp.zeros(cap + 1, INDEX_DTYPE).at[self.indptr[1:]].add(
+            1, mode="drop"
+        )
+        rid = jnp.cumsum(marker[:cap], dtype=INDEX_DTYPE)
         return jnp.where(pos < self.nblocks, rid, self.nbr).astype(INDEX_DTYPE)
 
     def block_until_ready(self) -> "BSRMatrix":
