@@ -178,6 +178,28 @@ def spgemm_esc(
     return CSRMatrix(indptr=indptr, indices=indices, values=values, shape=(rows, cols))
 
 
+def _b_pack(b: CSRMatrix) -> jax.Array:
+    """(capacity, 2) int32 [col | f32-value bits] table of B's entries."""
+    return jnp.stack(
+        [b.indices, lax.bitcast_convert_type(b.values, jnp.int32)], axis=1
+    )
+
+
+def _window_table(b: CSRMatrix, window: int, b_pack: jax.Array) -> jax.Array:
+    """(K, 2 + 2W) int32 [len | start | cols | value bits] windowed view of
+    B's first ``window`` entries per row (one K*W-index gather)."""
+    W = int(window)
+    b_starts = b.indptr[:-1]
+    b_lens = b.indptr[1:] - b.indptr[:-1]
+    wr = jnp.arange(W, dtype=INDEX_DTYPE)
+    pos = jnp.clip(b_starts[:, None] + wr[None, :], 0, max(b.capacity - 1, 0))
+    ell = b_pack[pos]
+    return jnp.concatenate(
+        [jnp.stack([b_lens, b_starts], axis=1), ell[:, :, 0], ell[:, :, 1]],
+        axis=1,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("window",))
 def precompute_window_table(b: CSRMatrix, window: int) -> jax.Array:
     """Device-side windowed (ELLPACK) table of B for repeated products.
@@ -196,19 +218,7 @@ def precompute_window_table(b: CSRMatrix, window: int) -> jax.Array:
     """
     if b.values.dtype != jnp.float32:
         raise ValueError("window tables are f32-only (bitcast packing)")
-    W = int(window)
-    b_starts = b.indptr[:-1]
-    b_lens = b.indptr[1:] - b.indptr[:-1]
-    wr = jnp.arange(W, dtype=INDEX_DTYPE)
-    pos = jnp.clip(b_starts[:, None] + wr[None, :], 0, max(b.capacity - 1, 0))
-    b_pack = jnp.stack(
-        [b.indices, lax.bitcast_convert_type(b.values, jnp.int32)], axis=1
-    )
-    ell = b_pack[pos]
-    return jnp.concatenate(
-        [jnp.stack([b_lens, b_starts], axis=1), ell[:, :, 0], ell[:, :, 1]],
-        axis=1,
-    )
+    return _window_table(b, window, _b_pack(b))
 
 
 @functools.partial(
@@ -275,34 +285,21 @@ def spgemm_esc_windowed(
     a_rows = a.row_ids()
     a_idx_safe = jnp.where(a_valid, a.indices, 0)
 
-    b_starts = b.indptr[:-1]
-    b_lens = b.indptr[1:] - b.indptr[:-1]
     wr = jnp.arange(W, dtype=INDEX_DTYPE)
-    pos = jnp.clip(b_starts[:, None] + wr[None, :], 0, max(b.capacity - 1, 0))
-
     f32 = a.values.dtype == jnp.float32 and b.values.dtype == jnp.float32
     if f32:
-        b_pack = jnp.stack(
-            [b.indices, lax.bitcast_convert_type(b.values, jnp.int32)], axis=1
-        )
-        if b_table is not None:
-            tbl = b_table  # caller precomputed (precompute_window_table)
-        else:
-            ell = b_pack[pos]  # (K, W, 2) windowed gather: K*W indices
-            tbl = jnp.concatenate(
-                [
-                    jnp.stack([b_lens, b_starts], axis=1),
-                    ell[:, :, 0],
-                    ell[:, :, 1],
-                ],
-                axis=1,
-            )  # (K, 2 + 2W): [len | start | cols | value bits]
+        b_pack = _b_pack(b)  # also feeds the tail gathers below
+        tbl = b_table if b_table is not None else _window_table(b, W, b_pack)
         ga = tbl[a_idx_safe]  # (cap_a, 2+2W) row gather: nnz(A) indices
         lens = jnp.where(a_valid, ga[:, 0], 0)
         start_tail = ga[:, 1] + W
         k2 = ga[:, 2 : 2 + W]
         bv = lax.bitcast_convert_type(ga[:, 2 + W :], jnp.float32)
     else:
+        # f64 correctness path (CPU parity): unpacked gathers, no bitcast.
+        b_starts = b.indptr[:-1]
+        b_lens = b.indptr[1:] - b.indptr[:-1]
+        pos = jnp.clip(b_starts[:, None] + wr[None, :], 0, max(b.capacity - 1, 0))
         ell_k = b.indices[pos]
         ell_v = b.values[pos]
         lens = jnp.where(a_valid, b_lens[a_idx_safe], 0)

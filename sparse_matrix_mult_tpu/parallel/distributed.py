@@ -45,7 +45,7 @@ except ImportError:  # pragma: no cover - older jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.convert import csr_to_dense, dense_to_csr
-from ..types import CSRMatrix, INDEX_DTYPE, bucket_capacity
+from ..types import CSRMatrix, INDEX_DTYPE, bucket_capacity, row_ids_from_indptr
 from .mesh import row_mesh
 
 __all__ = [
@@ -676,16 +676,11 @@ def _spgemm_sparse_jit(
             row0 = bounds_arr[my]
             cap_a = a_ix.shape[0]
 
-            # Local row id of every A entry (padding -> row 0, value 0).
-            # Marker scatter + cumsum, NOT searchsorted: its while-loop
-            # lowering pays a per-step scheduling quantum on this runtime
-            # (see CSRMatrix.row_ids).
+            # Local row id of every A entry (padding -> row 0, value 0);
+            # marker trick, not searchsorted (types.row_ids_from_indptr).
             slot = jnp.arange(cap_a, dtype=INDEX_DTYPE)
             nnz_a = a_ip[-1]
-            marker = jnp.zeros(cap_a + 1, INDEX_DTYPE).at[a_ip[1:]].add(
-                1, mode="drop"
-            )
-            rid = jnp.cumsum(marker[:cap_a], dtype=INDEX_DTYPE)
+            rid = row_ids_from_indptr(a_ip, cap_a)
             a_rows = jnp.where(slot < nnz_a, rid, 0)
             a_live = slot < nnz_a
 
@@ -915,10 +910,7 @@ def _triple_sparse_jit(mesh: Mesh, e_step: int, full: bool):
             cap_t = t_ix.shape[0]
             slot = jnp.arange(cap_t, dtype=INDEX_DTYPE)
             nnz_t = t_ip[-1]
-            marker = jnp.zeros(cap_t + 1, INDEX_DTYPE).at[t_ip[1:]].add(
-                1, mode="drop"
-            )
-            rid = jnp.cumsum(marker[:cap_t], dtype=INDEX_DTYPE)
+            rid = row_ids_from_indptr(t_ip, cap_t)
             t_rows = jnp.where(slot < nnz_t, rid, 0)
             t_live = slot < nnz_t
             perm = [(i, (i - 1) % s_count) for i in range(s_count)]

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "row_ids_from_indptr",
     "CSRMatrix",
     "bucket_capacity",
     "from_scipy",
@@ -46,6 +47,27 @@ __all__ = [
 Shape = Tuple[int, int]
 
 INDEX_DTYPE = jnp.int32
+
+
+def row_ids_from_indptr(indptr: jax.Array, capacity: int) -> jax.Array:
+    """Row id of every entry position ``0..capacity`` from CSR row pointers.
+
+    Marker scatter + inclusive cumsum, NOT ``jnp.searchsorted``: the
+    searchsorted 'scan' lowering is a while loop of log2(rows) dependent
+    steps, and on the tunneled v5e runtime every loop step pays a
+    ~2.5-5 ms scheduling quantum -- the searchsorted version measured
+    41.6 ms vs ~2 ms for this formulation at 320k entries / 40k rows
+    (round-4 profiling).  ``marker[p]`` counts the rows starting at entry
+    position ``p`` (empty rows stack markers; ``side='right'`` semantics:
+    an entry at a row start belongs to that row).  Positions past
+    ``indptr[-1]`` return the last row's id -- mask at the call site if
+    padding must map elsewhere.  Shared by CSRMatrix.row_ids,
+    BSRMatrix.block_rows, and the distributed ring kernels.
+    """
+    marker = (
+        jnp.zeros(capacity + 1, INDEX_DTYPE).at[indptr[1:]].add(1, mode="drop")
+    )
+    return jnp.cumsum(marker[:capacity], dtype=INDEX_DTYPE)
 
 
 def bucket_capacity(n: int, minimum: int = 128) -> int:
@@ -112,25 +134,15 @@ class CSRMatrix:
     def row_ids(self) -> jax.Array:
         """Row index of every stored entry, padding mapped to row 0.
 
-        Computed as a row-start marker scatter + cumsum -- the device-side
-        replacement for iterating ``rowPtr`` the way the reference's
-        Gustavson loop does (``sparsework.cpp:56-60``).  NOT searchsorted:
-        jnp.searchsorted's default 'scan' lowering is a while loop of
-        log2(rows) dependent steps, and on the tunneled v5e runtime every
-        loop step pays a ~2.5-5 ms scheduling quantum -- the searchsorted
-        version measured 41.6 ms vs ~2 ms for this formulation at 320k
-        entries / 40k rows (round-4 profiling).
+        See :func:`row_ids_from_indptr` -- the device-side replacement for
+        iterating ``rowPtr`` the way the reference's Gustavson loop does
+        (``sparsework.cpp:56-60``).  Padding (positions >= nnz) remaps to
+        row 0 (values are zero anyway so downstream scatter-adds are
+        no-ops).
         """
         cap = self.capacity
         positions = jnp.arange(cap, dtype=INDEX_DTYPE)
-        # marker[p] = number of rows starting at entry position p; inclusive
-        # cumsum gives the row id (side='right' semantics: an entry at a row
-        # start belongs to that row).  Empty rows stack markers; indptr
-        # values are <= capacity so the scatter stays in bounds.
-        marker = jnp.zeros(cap + 1, INDEX_DTYPE).at[self.indptr[1:]].add(1)
-        rid = jnp.cumsum(marker[:cap], dtype=INDEX_DTYPE)
-        # Padding (positions >= nnz) remaps to row 0 (values are zero anyway
-        # so downstream scatter-adds are no-ops).
+        rid = row_ids_from_indptr(self.indptr, cap)
         return jnp.where(positions < self.nnz, rid, 0)
 
     def todense(self, dtype=None) -> jax.Array:

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .types import INDEX_DTYPE, bucket_capacity
+from .types import INDEX_DTYPE, bucket_capacity, row_ids_from_indptr
 
 __all__ = ["BSRMatrix", "bsr_from_scipy", "bsr_to_dense", "bsr_from_dense"]
 
@@ -77,17 +77,11 @@ class BSRMatrix:
 
     def block_rows(self) -> jax.Array:
         """Block-row id of every stored block (padding -> nbr, the dummy row
-        used by the kernel so padding never touches real output).
-
-        Marker scatter + cumsum, not searchsorted (whose while-loop lowering
-        pays a per-step scheduling quantum on the tunneled runtime; see
-        CSRMatrix.row_ids)."""
+        used by the kernel so padding never touches real output); marker
+        trick, not searchsorted (types.row_ids_from_indptr)."""
         cap = self.block_capacity
         pos = jnp.arange(cap, dtype=INDEX_DTYPE)
-        marker = jnp.zeros(cap + 1, INDEX_DTYPE).at[self.indptr[1:]].add(
-            1, mode="drop"
-        )
-        rid = jnp.cumsum(marker[:cap], dtype=INDEX_DTYPE)
+        rid = row_ids_from_indptr(self.indptr, cap)
         return jnp.where(pos < self.nblocks, rid, self.nbr).astype(INDEX_DTYPE)
 
     def block_until_ready(self) -> "BSRMatrix":
