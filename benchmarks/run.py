@@ -297,7 +297,12 @@ def bench_hypersparse() -> list[dict]:
       * 100k x 100k, d=1e-4 -> flop-balanced ``esc_chunks`` route
     """
     rows = []
-    for n, density, expect in [(40_000, 2e-4, "esc"), (100_000, 1e-4, "esc_chunks")]:
+    for n, density, expect in [
+        (40_000, 2e-4, "esc"),
+        (100_000, 1e-4, "esc_chunks"),
+        # Scaling point: 2e7 partials, two-key output space (n^2 >= 2^31).
+        (200_000, 5e-5, "esc_chunks"),
+    ]:
         A = _hypersparse_random(n, n, int(density * n * n), seed=11)
         B = _hypersparse_random(n, n, int(density * n * n), seed=12)
         t0 = time.perf_counter()
@@ -402,6 +407,43 @@ def bench_hypersparse() -> list[dict]:
                 "speedup_vs_scipy_compute": round(t_scipy / t_res, 2),
                 "backend": jax.default_backend(),
             })
+
+            # Symmetric (upper-triangle) device-resident row at the first
+            # config -- the reference's FLAGSHIP routine shape
+            # (/root/reference/README.md:216) in the hypersparse regime.
+            if n == 40_000:
+                c_sym = sp.triu(c_sp).tocsr()
+                OCs = fine_capacity(int(c_sym.nnz))
+
+                def loop_sym(a_, b_):
+                    def body(t, carry):
+                        a2 = _dc.replace(a_, values=a_.values.at[0].add(carry * 0))
+                        c = spgemm_esc_windowed(
+                            a2, b_, window=w, expand_capacity=EC,
+                            tail_capacity=TC, out_capacity=OCs, symmetric=True,
+                        )
+                        return c.values[0] + c.indptr[-1].astype(jnp.float32) * 1e-6
+                    return lax.fori_loop(0, K, body, jnp.float32(0))
+
+                fs = jax.jit(loop_sym)
+                float(fs(a_d, b_d))
+                t0 = time.perf_counter()
+                float(fs(a_d, b_d))
+                t_sym = (time.perf_counter() - t0) / K
+                rows.append({
+                    "config": f"{n}x{n}_d{density}",
+                    "routine": "device_resident_esc_windowed_sym",
+                    "window": w,
+                    "seconds": round(t_sym, 5),
+                    "n_partials": int(expand),
+                    "m_partials_per_s_device": round(expand / t_sym / 1e6, 1),
+                    "nnz_per_s_device": round(int(c_sym.nnz) / t_sym, 1),
+                    "host_kernel_seconds": round(t_host, 5),
+                    "m_partials_per_s_host_inprocess": round(expand / t_host / 1e6, 1),
+                    "speedup_vs_host_kernel": round(t_host / t_sym, 2),
+                    "speedup_vs_scipy_compute": round(t_scipy / t_sym, 2),
+                    "backend": jax.default_backend(),
+                })
 
             # Amortized B-reuse row: the window table built ONCE (the
             # reference's motivating workload holds Q/H fixed across an
