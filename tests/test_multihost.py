@@ -73,6 +73,36 @@ for shard in c.addressable_shards:
     np.testing.assert_allclose(
         local, ref[r0 : r0 + local.shape[0]], rtol=1e-10, atol=1e-12
     )
+
+# Sparse local contraction across the 2-process mesh: B blocks ring-rotate
+# as packed CSR over the loopback DCN; each process checks its local output
+# shards against the oracle (no gather of the global result).
+from sparse_matrix_mult_tpu.parallel.distributed import (
+    spgemm_csr_distributed_sparse,
+)
+
+out = spgemm_csr_distributed_sparse(A, B, mesh=mesh, balance="flops")
+jax.block_until_ready((out.indptrs, out.indices, out.values))
+
+
+def _local(arr):
+    return {sh.index[0].start or 0: np.asarray(sh.data)[0] for sh in arr.addressable_shards}
+
+
+ips, ixs, vvs = _local(out.indptrs), _local(out.indices), _local(out.values)
+bounds = out.row_bounds
+assert len(ips) == 2  # this process's shards only
+for s, ip in ips.items():
+    r0, r1 = bounds[s], bounds[s + 1]
+    rows_here = r1 - r0
+    nnz = int(ip[rows_here]) if rows_here else 0
+    local = sp.csr_matrix(
+        (vvs[s][:nnz], ixs[s][:nnz], ip[: rows_here + 1]),
+        shape=(rows_here, B.shape[1]),
+    )
+    np.testing.assert_allclose(
+        local.toarray(), ref[r0:r1], rtol=1e-10, atol=1e-12
+    )
 print(f"proc {proc_id} OK", flush=True)
 """
 

@@ -256,3 +256,31 @@ def test_precomputed_window_table_matches_inline():
     assert c1.nnz == c2.nnz
     with pytest.raises(ValueError, match="b_table shape"):
         spgemm_esc_windowed(a, b, b_table=tbl[:, :-1], **kw)
+
+
+def test_multiply_device_native_windowed_route():
+    """Device-native multiply() takes the windowed engine via window=/
+    tail_capacity= and matches the default ESC result exactly."""
+    a_sp, b_sp = _pair(150, 150, 150, 0.03, 0.03, seed=21)
+    a = from_scipy(a_sp)
+    b = from_scipy(b_sp)
+    e = expansion_size(a_sp.indices, a_sp.nnz, b_sp.indptr)
+    lens = np.diff(b_sp.indptr)[a_sp.indices]
+    tail = int(np.maximum(lens - 8, 0).sum())
+    kw = dict(
+        out_capacity=bucket_capacity(max(e, 1)),
+        expand_capacity=bucket_capacity(max(e, 1)),
+    )
+    c1 = to_scipy(smm.multiply(a, b, **kw))
+    c2 = to_scipy(
+        smm.multiply(
+            a, b, window=8,
+            tail_capacity=bucket_capacity(tail) if tail else 0, **kw,
+        )
+    )
+    assert c1.nnz == c2.nnz
+    np.testing.assert_array_equal(c1.indices, c2.indices)
+    np.testing.assert_allclose(c1.toarray(), c2.toarray(), rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        c2.toarray(), (a_sp @ b_sp).toarray(), rtol=1e-12, atol=1e-13
+    )
