@@ -95,3 +95,38 @@ def test_property_sweep_all_routines(seed):
     np.testing.assert_allclose(
         got_tf, np.triu(tp_ref) + np.triu(tp_ref, 1).T, rtol=1e-5, atol=1e-7
     )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_router_fuzz_all_formats(seed):
+    """Router fuzz: random shapes/densities through every output format and
+    the triple product, vs scipy at the reference oracle tolerance.  The
+    route taken varies with the calibrated link and config defaults -- the
+    point is that EVERY route the ladder picks is correct."""
+    import numpy as np
+
+    rng = np.random.default_rng(500 + seed)
+    m = int(rng.integers(10, 300))
+    k = int(rng.integers(10, 300))
+    n = int(rng.integers(10, 300))
+    da = float(rng.uniform(0.003, 0.2))
+    db = float(rng.uniform(0.003, 0.2))
+    a = sparse_random(m, k, density=da, format="csr", random_state=int(rng.integers(2**31)))
+    b = sparse_random(k, n, density=db, format="csr", random_state=int(rng.integers(2**31)))
+    ref = (a @ b).toarray()
+    got = sparse_matrix_multiply(a, b, output_format="sparse")
+    assert np.allclose(got.toarray(), ref, rtol=1e-5, atol=1e-8)
+    got_d = sparse_matrix_multiply(a, b, output_format="dense")
+    assert np.allclose(got_d, ref, rtol=1e-5, atol=1e-8)
+    if m == n:
+        got_s = sparse_matrix_multiply(a, b, symmetric=True)
+        assert np.allclose(got_s.toarray(), np.triu(ref), rtol=1e-5, atol=1e-8)
+    # Triple product needs B square (k x k).  compute_full_matrix=1 mirrors
+    # the computed UPPER triangle (reference semantics,
+    # /root/reference/src/sparse_sparse_dense.cpp:213-215) -- for a general
+    # (non-symmetric) Q that is triu(C) + triu(C, 1).T, not C itself.
+    q = sparse_random(k, k, density=db, format="csr", random_state=int(rng.integers(2**31)))
+    t = sparse_matrix_multiply(a, q, use_triple_product=True, compute_full_matrix=1)
+    ref_t = (a @ q @ a.T).toarray()
+    expect = np.triu(ref_t) + np.triu(ref_t, 1).T
+    assert np.allclose(t, expect, rtol=1e-5, atol=1e-8)
