@@ -11,9 +11,13 @@ Differences (deliberate, per design review of the reference):
 
 * Real exceptions propagate -- the reference's catch-all that silently returns
   a zero matrix (``matrix_ops.py:377-387``) is **not** replicated.
-* ``imem_size`` is validated identically but is a no-op performance hint: XLA
-  owns buffer management, so the percent-of-dense heuristic
-  (``sparse_sparse_sparse.cpp:69-80``) has no TPU analogue.
+* ``imem_size`` is validated identically and HONORED as the working-memory
+  hint it is in the reference: there it scales the per-thread intermediate
+  pool as a percent-of-dense heuristic
+  (``sparse_sparse_sparse.cpp:69-80``, values 1..10 = percent, else 10);
+  here the same 1..10 scale multiplies the per-dispatch partial-product
+  budget (``Config.esc_expand_limit``) that sizes the flop-balanced row
+  chunks, with the default 5 leaving the configured budget unchanged.
 * Compute runs on the default JAX backend (TPU when present) under the
   precision policy in :mod:`sparse_matrix_mult_tpu.config`.
 """
@@ -59,8 +63,15 @@ def get_last_route() -> str | None:
     return getattr(_ROUTE_STATE, "route", None)
 
 
-def _set_route(route: str) -> None:
+def _set_route(route: str, **detail) -> None:
     _ROUTE_STATE.route = route
+    _ROUTE_STATE.detail = detail
+
+
+def get_last_route_detail() -> dict:
+    """Diagnostics recorded with the last route (e.g. ``chunks`` for the
+    flop-chunked ESC path); empty dict when the route recorded none."""
+    return getattr(_ROUTE_STATE, "detail", {}) or {}
 
 
 def _coerce_csr(m):
@@ -225,14 +236,20 @@ def block_occupancy(mat, block_size: int) -> float:
     """Fraction of nonzero (b x b) blocks in a scipy sparse matrix.
 
     O(nnz) host-side structure scan (no blocks materialized) -- the cheap
-    check that decides BSR routing; cached per operand object.
+    check that decides BSR routing; cached per operand object.  The cache
+    fingerprint samples only 4 index values, so an in-place pattern edit
+    that preserves nnz, shape AND the sampled entries can return a stale
+    occupancy -- that misroutes (BSR vs dense choice) but never changes
+    values.  Inputs without CSR ``indices``/``indptr`` attributes (COO,
+    LIL, DOK, ...) skip the cache and take the uncached scan.
     """
     import weakref
 
     b = int(block_size)
+    cacheable = hasattr(mat, "indices") and hasattr(mat, "indptr")
     key = (id(mat), b)
-    fp = _structure_fingerprint(mat)
-    ent = _OCC_CACHE.get(key)
+    fp = _structure_fingerprint(mat) if cacheable else None
+    ent = _OCC_CACHE.get(key) if cacheable else None
     if ent is not None and ent[0]() is mat and ent[1] == fp:
         return ent[2]
     m, n = mat.shape
@@ -242,6 +259,8 @@ def block_occupancy(mat, block_size: int) -> float:
         return 0.0
     keys = (coo.row // b).astype(np.int64) * nbc + (coo.col // b)
     occ = np.unique(keys).size / (nbr * nbc)
+    if not cacheable:
+        return occ
     try:
         ref = weakref.ref(mat)
     except TypeError:
@@ -377,7 +396,7 @@ def _flop_chunk_bounds(flops: np.ndarray, expand_limit: int, max_rows: int):
     return bounds
 
 
-def _sparse_out_chunked_esc(a_sp, b_sp, symmetric: bool):
+def _sparse_out_chunked_esc(a_sp, b_sp, symmetric: bool, esc_limit=None):
     """Flop-balanced row-chunked ESC: the large-sparse driver.
 
     Handles any size/density whose *operands and output chunks* fit device
@@ -394,7 +413,9 @@ def _sparse_out_chunked_esc(a_sp, b_sp, symmetric: bool):
     flops = row_flops(a_sp.indptr, a_sp.indices, b_sp.indptr)
     # Chunk size is bounded by the flop budget alone: the two-key (row,
     # col) ESC sort removed the old int32-key rows_pad * n < 2**31 cap.
-    bounds = _flop_chunk_bounds(flops, cfg.esc_expand_limit, m)
+    # ``esc_limit`` carries the caller's ``imem_size`` working-memory hint
+    # (reference: /root/reference/src/sparse_sparse_sparse.cpp:69-80).
+    bounds = _flop_chunk_bounds(flops, esc_limit or cfg.esc_expand_limit, m)
 
     # Policy dtype (f32 under FAST): f64 would run the whole device
     # sort/gather pipeline in emulated arithmetic; stitch_csr returns f64.
@@ -447,6 +468,7 @@ def _sparse_out_chunked_esc(a_sp, b_sp, symmetric: bool):
     out = stitch_csr(parts, m, n)
     if out.dtype != np.float64:  # numpy-fallback stitch keeps f32
         out = out.astype(np.float64)
+    _set_route("esc_chunks", chunks=len(bounds) - 1)
     return out
 
 
@@ -577,7 +599,7 @@ def _host_route_wins(expand: int, a_sp, b_sp, out_bytes: int | None = None) -> b
     return est_host < est_dev
 
 
-def _sparse_out_host(a_sp, b_sp, symmetric: bool):
+def _sparse_out_host(a_sp, b_sp, symmetric: bool, esc_limit=None):
     """sparse x sparse -> scipy CSR, choosing the device strategy by size.
 
     Strategy ladder (first match wins):
@@ -614,7 +636,7 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
 
     if dense_path_fits((m, k), (k, n), (m, n)) and not keep:
         return _dense_to_scipy_csr(a_sp, b_sp, symmetric)
-    if expand <= get_config().esc_expand_limit:
+    if expand <= (esc_limit or get_config().esc_expand_limit):
         # Expansion-sort: exact structure (keeps Gustavson's structural
         # zeros), capacities exact-then-bucketed; the two-key (row, col)
         # sort has no m*n size limit.  Upload in the resolved policy dtype
@@ -658,9 +680,7 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool):
         _set_route("dense_chunks")
         return out
 
-    out = _sparse_out_chunked_esc(a_sp, b_sp, symmetric)
-    _set_route("esc_chunks")
-    return out
+    return _sparse_out_chunked_esc(a_sp, b_sp, symmetric, esc_limit=esc_limit)
 
 
 def _zero_notice(result):
@@ -714,6 +734,15 @@ def sparse_matrix_multiply(
             raise ValueError(
                 f"imem_size must be an integer or None, got {type(imem_size)}"
             )
+    # The reference treats imem_size in (0, 10] as a percent of per-thread
+    # dense working memory and anything else as the default 10%
+    # (/root/reference/src/sparse_sparse_sparse.cpp:69-80).  The TPU
+    # analogue of "intermediate memory per work unit" is the per-dispatch
+    # partial-product budget that sizes the flop-balanced row chunks:
+    # scale Config.esc_expand_limit by imem_size/5 (5 = normalized default,
+    # matrix_ops.py:290-297), floored so a chunk always holds real work.
+    _pct = imem_size if 0 < imem_size <= 10 else 10
+    esc_limit = max(1, get_config().esc_expand_limit * _pct // 5)
 
     if compute_full_matrix is None:
         compute_full_matrix = 0
@@ -774,7 +803,7 @@ def sparse_matrix_multiply(
             ).astype(np.float64)
             _set_route("triple")
     elif output_format == "sparse":
-        result = _sparse_out_host(matrix_a, matrix_b, symmetric)
+        result = _sparse_out_host(matrix_a, matrix_b, symmetric, esc_limit=esc_limit)
     elif output_format == "dense":
         cfg = get_config()
         expand = expansion_size(matrix_a.indices, matrix_a.nnz, matrix_b.indptr)
@@ -842,12 +871,27 @@ def multiply(
        this entry point deliberately never leaves the device (it is meant
        to compose inside larger jitted programs where the result stays in
        HBM).
+
+    .. warning:: ``window`` sizing.  With ``window`` set, B rows longer
+       than the window spill into the tail expansion; an undersized
+       ``tail_capacity`` (the default 0 means "no B row exceeds the
+       window") silently DROPS those partials -- no device-side error is
+       possible under static shapes.  Always size ``window``/
+       ``tail_capacity`` with :func:`ops.spgemm_jnp.windowed_plan` (or
+       guarantee max B row nnz <= window).
     """
     if output_format == "dense":
         return spgemm_dense_out(a, b, symmetric=symmetric, precision=precision)
     if output_format == "sparse":
         if out_capacity is None:
             raise ValueError("sparse output under jit requires out_capacity")
+        if expand_capacity is None and (window is not None or b_table is not None):
+            raise ValueError(
+                "window/b_table require expand_capacity: without it the "
+                "call would fall through to the dense-out extraction path, "
+                "which prunes structural zeros and materializes a dense "
+                "panel (different semantics)"
+            )
         if expand_capacity is not None:
             if window is not None:
                 # Windowed (ELLPACK) expansion: the hypersparse fast path.

@@ -25,6 +25,31 @@ def tiny_limits():
     set_config(dense_path_limit=saved[0], esc_expand_limit=saved[1])
 
 
+@pytest.fixture
+def device_routed():
+    """Pin the routing ladder off the host path (cost model + hard limit)."""
+    cfg = get_config()
+    keys = (
+        "host_compute_limit",
+        "auto_calibrate_link",
+        "link_fixed_s",
+        "link_up_bytes_per_s",
+        "link_down_bytes_per_s",
+        "host_rate_base",
+    )
+    saved = {k: getattr(cfg, k) for k in keys}
+    set_config(
+        host_compute_limit=0,
+        auto_calibrate_link=False,
+        link_fixed_s=1e-9,
+        link_up_bytes_per_s=1e15,
+        link_down_bytes_per_s=1e15,
+        host_rate_base=1.0,
+    )
+    yield
+    set_config(**saved)
+
+
 def _pair(m, k, n, da, db, seed=0):
     rng = np.random.default_rng(seed)
     a = sp.random(m, k, density=da, format="csr", random_state=rng.integers(2**31))
@@ -102,6 +127,45 @@ def test_heavy_row_dense_chunks(tiny_limits):
     b = sp.random(k, n, density=0.6, format="csr", random_state=10)
     assert k * n <= 400 < m * n
     _check(a, b)
+
+
+def test_imem_size_scales_chunk_budget(tiny_limits, device_routed):
+    # The reference's imem_size knob scales per-thread intermediate memory
+    # (/root/reference/src/sparse_sparse_sparse.cpp:69-80); here the same
+    # 1..10 scale multiplies the per-dispatch partial budget that sizes the
+    # flop-balanced row chunks.  Smaller hint => smaller chunks => more of
+    # them; results identical either way.
+    from sparse_matrix_mult_tpu.api import get_last_route_detail
+
+    set_config(dense_path_limit=1000, esc_expand_limit=2000)
+    a, b = _pair(100, 60, 60, 0.2, 0.2, seed=6)
+    ref = (a @ b).toarray()
+
+    got_small = smm.sparse_matrix_multiply(a, b, "sparse", imem_size=1)
+    assert smm.get_last_route() == "esc_chunks"
+    chunks_small = get_last_route_detail()["chunks"]
+
+    got_big = smm.sparse_matrix_multiply(a, b, "sparse", imem_size=10)
+    assert smm.get_last_route() == "esc_chunks"
+    chunks_big = get_last_route_detail()["chunks"]
+
+    assert chunks_small > chunks_big  # 1/5 of the budget vs 2x the budget
+    np.testing.assert_allclose(got_small.toarray(), ref, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(got_big.toarray(), ref, rtol=1e-5, atol=1e-8)
+
+
+def test_imem_size_out_of_range_means_default_ten(tiny_limits, device_routed):
+    # Values outside (0, 10] fall back to the reference's default 10%.
+    from sparse_matrix_mult_tpu.api import get_last_route_detail
+
+    set_config(dense_path_limit=1000, esc_expand_limit=2000)
+    a, b = _pair(100, 60, 60, 0.2, 0.2, seed=6)
+    smm.sparse_matrix_multiply(a, b, "sparse", imem_size=10)
+    chunks_ten = get_last_route_detail()["chunks"]
+    smm.sparse_matrix_multiply(a, b, "sparse", imem_size=99)
+    assert get_last_route_detail()["chunks"] == chunks_ten
+    smm.sparse_matrix_multiply(a, b, "sparse", imem_size=-3)
+    assert get_last_route_detail()["chunks"] == chunks_ten
 
 
 def test_chunk_bounds_respect_max_rows():
