@@ -96,9 +96,25 @@ def main():
             got6 = np.triu(np.asarray(matmul_triu(ad, bd, split3=False), np.float64))
             row["triu_f32_max_rel"] = max_rel(np.triu(got6), np.triu(ref))
 
+            # What an explicit-FAST API caller ACTUALLY gets after the
+            # round-5 size/term gate (split3 where the error model clears
+            # the oracle, 6-pass f32 where it does not).
+            from sparse_matrix_mult_tpu.ops.dense_path import _split3_within_oracle
+
+            row["split3_gate_engaged"] = bool(_split3_within_oracle(a32, b32))
+            got_api = np.asarray(
+                spgemm_dense_out(a32, b32, symmetric=True, precision="fast"),
+                np.float64,
+            )
+            row["api_fast_sym_max_rel"] = max_rel(np.triu(got_api), np.triu(ref))
+
         row["oracle_rtol"] = ORACLE_RTOL
         row["fast_inside_oracle"] = row["fast_max_rel"] < ORACLE_RTOL
         row["split_inside_oracle"] = row["split_max_rel"] < ORACLE_RTOL
+        if "api_fast_sym_max_rel" in row:
+            row["api_fast_sym_inside_oracle"] = (
+                row["api_fast_sym_max_rel"] < ORACLE_RTOL
+            )
         rows.append(row)
         print(json.dumps(row))
 

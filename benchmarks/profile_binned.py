@@ -33,6 +33,7 @@ K = 5
 
 def main():
     lanes = [int(x) for x in sys.argv[1:]] or [4096, 8192]
+    windows = [int(x) for x in os.environ.get("SMM_WINDOWS", "8").split(",")]
     for n, density in [(40_000, 2e-4), (100_000, 1e-4)]:
         A = hypersparse_random(n, n, int(density * n * n), seed=11)
         B = hypersparse_random(n, n, int(density * n * n), seed=12)
@@ -41,9 +42,10 @@ def main():
         b = smm.from_scipy(B, dtype=jnp.float32, capacity=fine_capacity(B.nnz)).block_until_ready()
         OC = fine_capacity(nnz_c)
         for P in lanes:
-            plan = binned_plan(A.indptr, A.indices, B.indptr, window=8, lane_width=P)
+          for W in windows:
+            plan = binned_plan(A.indptr, A.indices, B.indptr, window=W, lane_width=P)
             if plan is None:
-                print(f"n={n} P={P}: no plan", flush=True)
+                print(f"n={n} P={P} W={W}: no plan", flush=True)
                 continue
             G, Wp = plan.va_slice.shape
             args = [jnp.asarray(x) for x in (
@@ -70,7 +72,7 @@ def main():
             per = (min(tKs) - min(t1s)) / (K - 1)
             mps = plan.n_partials / per / 1e6
             print(
-                f"n={n} P={P} G={G} padded={plan.padded} exact={plan.n_partials} "
+                f"n={n} P={P} W={W} G={G} padded={plan.padded} exact={plan.n_partials} "
                 f"per-iter {per*1e3:.2f} ms = {mps:.1f} M partials/s",
                 flush=True,
             )

@@ -298,7 +298,7 @@ def bench_hypersparse() -> list[dict]:
     """
     rows = []
     for n, density, expect in [
-        (40_000, 2e-4, "esc"),
+        (40_000, 2e-4, "esc_binned"),
         (100_000, 1e-4, "esc_chunks"),
         # Scaling point: 2e7 partials, two-key output space (n^2 >= 2^31).
         (200_000, 5e-5, "esc_chunks"),
@@ -479,6 +479,56 @@ def bench_hypersparse() -> list[dict]:
                 "speedup_vs_scipy_compute": round(t_scipy / t_amo, 2),
                 "backend": jax.default_backend(),
             })
+
+        # Row-binned 2D ESC engine (round 5): per-lane sorts instead of
+        # device-wide ones.  Plan built once per operand structure (the
+        # production reuse shape); nonsym + sym rows.
+        from sparse_matrix_mult_tpu.ops.spgemm_binned import (
+            binned_plan,
+            spgemm_esc_binned,
+        )
+
+        bplan = binned_plan(A.indptr, A.indices, B.indptr, window=8, lane_width=4096)
+        if bplan is not None:
+            pargs = [jnp.asarray(x) for x in (
+                bplan.slice_start, bplan.slice_len, bplan.va_slice,
+                bplan.va_entry, bplan.va_row)]
+            for x in pargs:
+                x.block_until_ready()
+            for sym in (False, True) if n == 40_000 else (False,):
+                OCb = fine_capacity(int(sp.triu(c_sp).nnz)) if sym else OC
+
+                def loop_b(a_, b_, *p, _sym=sym, _oc=OCb):
+                    def body(t, carry):
+                        a2 = _dc.replace(a_, values=a_.values.at[0].add(carry * 0))
+                        c = spgemm_esc_binned(
+                            a2, b_, *p, window=bplan.window,
+                            out_capacity=_oc, symmetric=_sym,
+                        )
+                        return c.values[0] + c.indptr[-1].astype(jnp.float32) * 1e-6
+                    return lax.fori_loop(0, K, body, jnp.float32(0))
+
+                fb = jax.jit(loop_b)
+                float(fb(a_d, b_d, *pargs))
+                t0 = time.perf_counter()
+                float(fb(a_d, b_d, *pargs))
+                t_bin = (time.perf_counter() - t0) / K
+                nnz_out = int(sp.triu(c_sp).nnz) if sym else nnz_c
+                rows.append({
+                    "config": f"{n}x{n}_d{density}",
+                    "routine": "device_resident_esc_binned" + ("_sym" if sym else ""),
+                    "lane_width": bplan.lane_width,
+                    "window": bplan.window,
+                    "seconds": round(t_bin, 5),
+                    "n_partials": int(bplan.n_partials),
+                    "m_partials_per_s_device": round(bplan.n_partials / t_bin / 1e6, 1),
+                    "nnz_per_s_device": round(nnz_out / t_bin, 1),
+                    "host_kernel_seconds": round(t_host, 5),
+                    "m_partials_per_s_host_inprocess": round(expand / t_host / 1e6, 1),
+                    "speedup_vs_host_kernel": round(t_host / t_bin, 2),
+                    "speedup_vs_scipy_compute": round(t_scipy / t_bin, 2),
+                    "backend": jax.default_backend(),
+                })
     return rows
 
 

@@ -46,11 +46,16 @@ def main():
     ap.add_argument("--json", type=str, default=None)
     ap.add_argument(
         "--mode",
-        choices=["auto", "weak", "overhead"],
+        choices=["auto", "weak", "overhead", "breakdown"],
         default="auto",
         help="weak: per-chip problem fixed, T(n) flat is perfect (real "
         "multi-chip); overhead: total problem fixed, T(n)/T(1) measures "
-        "sharding+collective overhead (virtual CPU mesh)",
+        "sharding+collective overhead (virtual CPU mesh); breakdown: weak "
+        "sizing, but each point ALSO times the comm-disabled twin of the "
+        "ring (ppermute replaced by identity, identical per-shard FLOPs) "
+        "-- comm overhead = T_ring - T_compute, separated from host "
+        "contention, with comm efficiency = T_compute / T_ring the "
+        "mesh-controlled number (VERDICT r4 item 3 methodology)",
     )
     ap.add_argument(
         "--cpu-mesh",
@@ -93,10 +98,21 @@ def main():
         # *overhead* at fixed total work instead.  Real multi-chip meshes get
         # true weak scaling.
         mode = "overhead" if jax.default_backend() == "cpu" else "weak"
+    def time_fn(fn, a, b):
+        float(fn(a, b))  # compile + warm
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            float(fn(a, b))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
     results = []
     for n in counts:
         mesh = row_mesh(devices[:n])
-        m = args.rows_per_chip * (n if mode == "weak" else max(counts))
+        m = args.rows_per_chip * (
+            n if mode in ("weak", "breakdown") else max(counts)
+        )
         k = args.cols
         a_sp = sp.random(m, k, density=args.density, format="csr", random_state=1)
         b_sp = sp.random(k, k, density=args.density, format="csr", random_state=2)
@@ -107,30 +123,42 @@ def main():
         b = shard_csr(b_sp, mesh, dtype=jnp.float32)
 
         product = _spgemm_dense_jit(mesh, False)
-        fn = jax.jit(lambda a, b: jnp.sum(product(a, b)))
-        float(fn(a, b))  # compile + warm
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            float(fn(a, b))
-            times.append(time.perf_counter() - t0)
-        results.append(
-            {
-                "devices": n,
-                "rows": m,
-                "cols": k,
-                "seconds": round(min(times), 5),
-            }
-        )
-        print(f"n={n}: {min(times):.4f}s ({m}x{k} @ d={args.density})")
+        t_ring = time_fn(jax.jit(lambda a, b: jnp.sum(product(a, b))), a, b)
+        row = {
+            "devices": n,
+            "rows": m,
+            "cols": k,
+            "seconds": round(t_ring, 5),
+        }
+        if mode == "breakdown":
+            # Comm-disabled twin: the SAME shard_map program with ppermute
+            # replaced by identity -- per-shard FLOPs, slices and
+            # accumulations are identical, only ICI traffic is gone.  On a
+            # time-shared virtual CPU mesh t_compute absorbs the host
+            # contention that confounds raw weak scaling; the difference
+            # is the ring communication the mesh actually controls.
+            compute = _spgemm_dense_jit(mesh, False, comm=False)
+            t_comp = time_fn(
+                jax.jit(lambda a, b: jnp.sum(compute(a, b))), a, b
+            )
+            row["seconds_compute_only"] = round(t_comp, 5)
+            row["comm_overhead_s"] = round(max(t_ring - t_comp, 0.0), 5)
+            row["comm_efficiency"] = round(min(t_comp / t_ring, 1.0), 3)
+        results.append(row)
+        print(f"n={n}: {t_ring:.4f}s ({m}x{k} @ d={args.density})"
+              + (f" compute-only {row['seconds_compute_only']:.4f}s"
+                 f" comm-eff {row['comm_efficiency']}" if mode == "breakdown" else ""))
 
     t1 = results[0]["seconds"]
     key = (
-        "weak_scaling_efficiency" if mode == "weak" else "overhead_vs_1dev"
+        "weak_scaling_efficiency"
+        if mode in ("weak", "breakdown")
+        else "overhead_vs_1dev"
     )
     for r in results:
         r[key] = round(
-            t1 / r["seconds"] if mode == "weak" else r["seconds"] / t1, 3
+            t1 / r["seconds"] if mode in ("weak", "breakdown") else r["seconds"] / t1,
+            3,
         )
 
     report = {

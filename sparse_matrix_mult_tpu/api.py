@@ -646,6 +646,37 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool, esc_limit=None):
         a = from_scipy(a_sp, dtype=dtype)
         b = from_scipy(b_sp, dtype=dtype)
         out_cap = bucket_capacity(min(expand, m * n))
+        if cfg.use_binned_esc:
+            # Row-binned 2D engine first: per-lane sorts are 3-6x cheaper
+            # than the device-wide sorts of the windowed/classic engines
+            # (measured v5e, ops/spgemm_binned.py).
+            from .ops.spgemm_binned import binned_plan, spgemm_esc_binned
+
+            bplan = binned_plan(
+                a_sp.indptr,
+                a_sp.indices,
+                b_sp.indptr,
+                window=cfg.binned_window,
+                lane_width=cfg.binned_lane_width,
+            )
+            if bplan is not None:
+                c = spgemm_esc_binned(
+                    a,
+                    b,
+                    jnp.asarray(bplan.slice_start),
+                    jnp.asarray(bplan.slice_len),
+                    jnp.asarray(bplan.va_slice),
+                    jnp.asarray(bplan.va_entry),
+                    jnp.asarray(bplan.va_row),
+                    window=bplan.window,
+                    out_capacity=out_cap,
+                    symmetric=symmetric,
+                )
+                _set_route("esc_binned")
+                out = to_scipy(c)
+                if out.dtype != np.float64:
+                    out = out.astype(np.float64)
+                return out
         plan = windowed_plan(
             a_sp.nnz, np.diff(b_sp.indptr)[a_sp.indices], expand
         )
@@ -856,6 +887,7 @@ def multiply(
     window: int | None = None,
     tail_capacity: int = 0,
     b_table=None,
+    plan=None,
 ):
     """Device-resident multiply for JAX programs (composable under ``jit``).
 
@@ -885,6 +917,25 @@ def multiply(
     if output_format == "sparse":
         if out_capacity is None:
             raise ValueError("sparse output under jit requires out_capacity")
+        if plan is not None:
+            # Row-binned 2D engine with a host-built structure plan
+            # (ops.spgemm_binned.binned_plan) -- the fastest sparse-output
+            # path when the layout fits; plan once per operand structure,
+            # reuse across every multiply.
+            from .ops.spgemm_binned import spgemm_esc_binned
+
+            return spgemm_esc_binned(
+                a,
+                b,
+                jnp.asarray(plan.slice_start),
+                jnp.asarray(plan.slice_len),
+                jnp.asarray(plan.va_slice),
+                jnp.asarray(plan.va_entry),
+                jnp.asarray(plan.va_row),
+                window=plan.window,
+                out_capacity=out_capacity,
+                symmetric=symmetric,
+            )
         if expand_capacity is None and (window is not None or b_table is not None):
             raise ValueError(
                 "window/b_table require expand_capacity: without it the "

@@ -90,6 +90,14 @@ class Config:
     # whose flop count exceeds it still runs in ONE dispatch with a larger
     # (actual-size) capacity, so termination never depends on this value.
     esc_expand_limit: int = 1 << 22
+    # Row-binned 2D ESC engine (ops/spgemm_binned.py): per-lane sort width
+    # and ELLPACK slice window.  Lanes of 4096 measured fastest on v5e
+    # (2D row sort 0.92 ms at 2.6M vs 5.3 ms for the 1D device-wide sort);
+    # the engine is preferred whenever its host planner finds a layout
+    # within its padding budget, falling back to windowed/classic ESC.
+    use_binned_esc: bool = True
+    binned_lane_width: int = 4096
+    binned_window: int = 8
     # Pallas BSR kernel block edge (MXU native tile).
     block_size: int = 128
     # Route block-structured operands through the Pallas BSR kernel when the
@@ -120,6 +128,13 @@ class Config:
     # It is therefore only engaged when the caller EXPLICITLY requests
     # ``precision='fast'``; AUTO-resolved FAST keeps full 6-pass f32.
     triu_split3: bool = True
+    # Round 5: even under explicit FAST, split3 is engaged only when the
+    # term-count error model clears the reference oracle's rtol=1e-5 with
+    # margin (ops/dense_path.py::_split3_within_oracle) -- sparse-
+    # accumulation configs (few terms per output entry) measured 2.5e-5
+    # and now silently get 6-pass f32.  Set False to force split3
+    # whenever triu_split3 is on (the round-4 behavior).
+    triu_split3_gate: bool = True
     # Emit the reference's "Multiplication resulted in a zero matrix." notice
     # (/root/reference/sparse_matrix_mult/matrix_ops.py:370-373).
     zero_result_notice: bool = True

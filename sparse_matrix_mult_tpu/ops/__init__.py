@@ -4,6 +4,7 @@ precision-policy matmuls, and Pallas TPU kernels."""
 from .dense_path import spgemm_dense_out, spgemm_sparse_out
 from .pallas.bsr_spgemm import bsr_bsr_matmul_dense, bsr_matmul_dense, bsr_pair_plan
 from .matmul import policy_matmul
+from .spgemm_binned import binned_plan, spgemm_esc_binned
 from .spgemm_jnp import (
     expansion_size,
     precompute_window_table,
@@ -18,6 +19,8 @@ __all__ = [
     "spgemm_sparse_out",
     "spgemm_esc",
     "spgemm_esc_windowed",
+    "spgemm_esc_binned",
+    "binned_plan",
     "precompute_window_table",
     "windowed_plan",
     "expansion_size",

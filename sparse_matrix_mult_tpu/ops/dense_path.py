@@ -87,6 +87,35 @@ def _expected_terms(a: CSRMatrix, b: CSRMatrix) -> float:
     return (a.capacity * b.capacity) / max(m * k * n, 1)
 
 
+def _split3_within_oracle(a: CSRMatrix, b: CSRMatrix, rtol: float = 1e-5) -> bool:
+    """Size-aware gate for the double-bf16 split3 kernel (VERDICT r4 item 5).
+
+    Error model, validated against ``benchmarks/results_accuracy_tpu.json``:
+    the bf16 hi/lo split represents 16 of f32's 24 mantissa bits, so each
+    partial product carries ~2^-16 relative truncation; accumulated over
+    ``T`` random-signed terms the entry-wise max relative error behaves
+    like ``2^-16 / sqrt(T)`` -- the WORST entries are the ones with the
+    fewest terms.  With T ~ Poisson(tbar) over m*n output entries the
+    smallest count is ~ ``tbar - sqrt(2 tbar ln(m n))``.  split3 is
+    engaged only when that worst case clears rtol with 2x margin:
+    measured max-rel 3.8e-6 (500^2 d=0.3, tbar~45) and 3.0e-6 (10k^2
+    d=0.1, tbar~100) stay on split3; 2.5e-5 (2000^2 d=0.05, tbar~5, where
+    single-term entries exist) falls back to 6-pass f32.  Static (uses
+    capacities), so the choice costs nothing under jit.  Disable the gate
+    with ``Config.triu_split3_gate=False`` to force the round-4 behavior.
+    Reference oracle: /root/reference/tests/test_basic.py:54.
+    """
+    import math
+
+    if not get_config().triu_split3_gate:
+        return True
+    m, _ = a.shape
+    n = b.shape[1]
+    tbar = _expected_terms(a, b)
+    tmin = max(tbar - math.sqrt(2.0 * tbar * math.log(max(m * n, 2))), 1.0)
+    return 2.0**-16 / math.sqrt(tmin) <= 0.5 * rtol
+
+
 def _triu_kernel_ok(m: int, n: int, prec: str) -> bool:
     cfg = get_config()
     if cfg.force_pallas_triu:
@@ -127,7 +156,15 @@ def spgemm_dense_out(
             # Double-bf16 split3 only when the caller explicitly asked for
             # FAST: its |A|@|B|-relative error bound is weaker than 6-pass
             # f32 under cancellation, so AUTO must not opt into it silently.
-            s3 = get_config().triu_split3 and precision == Precision.FAST
+            # Round 5: ALSO gated by the size/term error model below, so an
+            # explicit-FAST caller at a sparse-accumulation config (where
+            # split3 measured 2.5e-5 > the 1e-5 oracle) silently gets the
+            # 6-pass kernel instead of out-of-oracle results.
+            s3 = (
+                get_config().triu_split3
+                and precision == Precision.FAST
+                and _split3_within_oracle(a, b)
+            )
             return jnp.triu(matmul_triu(ad, bd, split3=s3)).astype(out_dtype)
         return jnp.triu(product_dense(a, b, prec))
     return product_dense(a, b, prec)

@@ -329,7 +329,8 @@ def _local_dense(ip, ix, vv, rows: int, cols: int, dtype=None):
     return csr_to_dense(csr, dtype=dtype)
 
 
-def _ring_accumulate(a_pad, b_loc, axis: str, s_count: int, kb: int, out_dtype):
+def _ring_accumulate(a_pad, b_loc, axis: str, s_count: int, kb: int, out_dtype,
+                     comm: bool = True):
     """Core BIDIRECTIONAL ring: rotate ``b_loc`` (one B row-block) around
     the mesh in both directions while contracting it with the matching A
     column slice.  ``a_pad`` is the local dense A rows with columns
@@ -370,10 +371,16 @@ def _ring_accumulate(a_pad, b_loc, axis: str, s_count: int, kb: int, out_dtype):
     half = (s_count + 1) // 2  # cw steps; ccw runs s_count // 2 steps
     ccw_steps = s_count // 2
 
+    def permute(x, perm):
+        # comm=False: identity twin for the weak-scaling breakdown artifact
+        # (same FLOPs/slices per shard, no ICI traffic) -- see
+        # benchmarks/scaling.py --mode breakdown.
+        return lax.ppermute(x, axis, perm) if comm else x
+
     def body(t, carry):
         b_cw, b_ccw, acc = carry
-        b_cw_n = lax.ppermute(b_cw, axis, perm_cw)
-        b_ccw_n = lax.ppermute(b_ccw, axis, perm_ccw)
+        b_cw_n = permute(b_cw, perm_cw)
+        b_ccw_n = permute(b_ccw, perm_ccw)
         j1 = ((my + t) % s_count).astype(jnp.int32)
         acc = dot_blk(j1, b_cw, acc)
         j2 = ((my - t - 1) % s_count).astype(jnp.int32)
@@ -383,7 +390,7 @@ def _ring_accumulate(a_pad, b_loc, axis: str, s_count: int, kb: int, out_dtype):
         acc = dot_blk(j2, b_ccw, acc, scale=gate)
         return (b_cw_n, b_ccw_n, acc)
 
-    b_ccw0 = lax.ppermute(b_loc, axis, perm_ccw)
+    b_ccw0 = permute(b_loc, perm_ccw)
     (_, _, out) = lax.fori_loop(0, half, body, (b_loc, b_ccw0, acc0))
     return out
 
@@ -402,7 +409,7 @@ def _shard(mat, mesh, bounds=None) -> ShardedCSR:
 
 
 @functools.lru_cache(maxsize=None)
-def _spgemm_dense_jit(mesh: Mesh, symmetric: bool):
+def _spgemm_dense_jit(mesh: Mesh, symmetric: bool, comm: bool = True):
     (axis,) = mesh.axis_names
     s_count = mesh.devices.size
 
@@ -418,7 +425,7 @@ def _spgemm_dense_jit(mesh: Mesh, symmetric: bool):
             a_loc = _local_dense(a_ip, a_ix, a_v, rows_pad, k)
             a_pad = pad_to_multiple(a_loc, 1, s_count * kb) if k < s_count * kb else a_loc
             b_loc = _local_dense(b_ip, b_ix, b_v, kb, n)
-            return _ring_accumulate(a_pad, b_loc, axis, s_count, kb, out_dtype)
+            return _ring_accumulate(a_pad, b_loc, axis, s_count, kb, out_dtype, comm=comm)
 
         sm = shard_map(
             local,

@@ -93,7 +93,7 @@ def test_api_large_routes_to_device_on_fast_link():
         A = sp.random(500, 500, density=0.3, format="csr", random_state=5)
         B = sp.random(500, 500, density=0.3, format="csr", random_state=6)
         smm.sparse_matrix_multiply(A, B)
-        assert smm.get_last_route() in ("dense", "esc", "esc_windowed", "bsr")
+        assert smm.get_last_route() in ("dense", "esc", "esc_windowed", "esc_binned", "bsr")
     finally:
         set_config(old)
 

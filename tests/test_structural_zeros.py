@@ -88,7 +88,7 @@ def test_esc_route_keeps_gustavson_structure(restore_config):
     set_config(host_compute_limit=0, dense_path_limit=1)
     _force_device_link()
     got = smm.sparse_matrix_multiply(a, b)
-    assert smm.get_last_route() in ("esc", "esc_windowed")
+    assert smm.get_last_route() in ("esc", "esc_windowed", "esc_binned")
     _assert_gustavson(got, touched, pruned.toarray())
 
 
@@ -141,5 +141,5 @@ def test_keep_structure_overrides_dense_routing(restore_config):
     set_config(host_compute_limit=0, keep_structure=True)
     _force_device_link()
     got = smm.sparse_matrix_multiply(a, b)
-    assert smm.get_last_route() in ("esc", "esc_windowed", "esc_chunks")
+    assert smm.get_last_route() in ("esc", "esc_windowed", "esc_binned", "esc_chunks")
     _assert_gustavson(got, touched, pruned.toarray())

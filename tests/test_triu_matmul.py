@@ -74,3 +74,36 @@ def test_triple_product_via_triu_kernel():
     assert np.allclose(upper, np.triu(full), rtol=1e-4, atol=1e-5)
     sym = np.triu(full) + np.triu(full, 1).T
     assert np.allclose(mirrored, sym, rtol=1e-4, atol=1e-5)
+
+
+def test_split3_gate_term_model():
+    """Round-5 size/term gate (VERDICT r4 item 5): split3 engages only when
+    the 2^-16/sqrt(T_min) error model clears the rtol=1e-5 oracle with 2x
+    margin.  Dense-accumulation shapes pass, sparse-accumulation shapes
+    (single-term entries possible) fall back to 6-pass f32."""
+    import jax.numpy as jnp
+
+    from sparse_matrix_mult_tpu.config import get_config
+    from sparse_matrix_mult_tpu.ops.dense_path import _split3_within_oracle
+    from sparse_matrix_mult_tpu.types import CSRMatrix
+
+    def fake(m, k, n, tbar):
+        # Gate reads only shapes + capacities: tbar = cap_a*cap_b/(m*k*n).
+        cap = int((tbar * m * k * n) ** 0.5)
+        z = jnp.zeros(cap, jnp.float32)
+        zi = jnp.zeros(cap, jnp.int32)
+        a = CSRMatrix(jnp.zeros(m + 1, jnp.int32), zi, z, (m, k))
+        b = CSRMatrix(jnp.zeros(k + 1, jnp.int32), zi, z, (k, n))
+        return a, b
+
+    # ~100 expected terms/entry at 1000^2 output: comfortably in-oracle.
+    assert _split3_within_oracle(*fake(1000, 1000, 1000, 100.0))
+    # ~5 expected terms/entry: single-term entries exist -> rel ~2^-16.
+    assert not _split3_within_oracle(*fake(1000, 1000, 1000, 5.0))
+    # Escape hatch restores round-4 behavior.
+    old = get_config().triu_split3_gate
+    set_config(triu_split3_gate=False)
+    try:
+        assert _split3_within_oracle(*fake(1000, 1000, 1000, 5.0))
+    finally:
+        set_config(triu_split3_gate=old)
