@@ -634,9 +634,15 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool, esc_limit=None):
         _set_route("host")
         return out
 
-    if dense_path_fits((m, k), (k, n), (m, n)) and not keep:
+    # Expansion much smaller than the dense panel: the binned ESC engine
+    # beats the MXU-product + extraction route outright (measured v5e,
+    # benchmarks/profile_small_sparse.py: 0.43 ms vs 2.7 ms at 1000^2
+    # d=0.01, vs 0.96 ms scipy) AND never materializes the (m, n) panel.
+    budget = esc_limit or get_config().esc_expand_limit
+    sparse_wins = expand <= budget and 4 * expand <= m * n
+    if dense_path_fits((m, k), (k, n), (m, n)) and not keep and not sparse_wins:
         return _dense_to_scipy_csr(a_sp, b_sp, symmetric)
-    if expand <= (esc_limit or get_config().esc_expand_limit):
+    if expand <= budget:
         # Expansion-sort: exact structure (keeps Gustavson's structural
         # zeros), capacities exact-then-bucketed; the two-key (row, col)
         # sort has no m*n size limit.  Upload in the resolved policy dtype
@@ -894,15 +900,16 @@ def multiply(
     Sparse output requires static capacities (XLA static shapes); see
     :func:`sparse_matrix_mult_tpu.ops.spgemm_jnp.spgemm_esc`.
 
-    .. note:: latency floor.  The sparse-output extraction kernels have a
-       fixed ~20 ms device-side latency (the ``lax.scan`` stitch of the
-       conversion kernels), which dominates problems with < ~1M output
-       elements: a 1000^2 d=0.01 product runs at 0.3-0.7x scipy
-       device-resident.  Small problems belong on the host path --
-       :func:`sparse_matrix_multiply` routes them there automatically;
-       this entry point deliberately never leaves the device (it is meant
-       to compose inside larger jitted programs where the result stays in
-       HBM).
+    .. note:: small problems.  For small/mid sparse outputs pass ``plan=``
+       (:func:`ops.spgemm_binned.binned_plan`): the row-binned engine runs
+       1000^2 d=0.01 in ~0.4 ms device-resident -- 2.3x scipy and ~6x the
+       dense-panel + extraction route (measured v5e, round 5;
+       benchmarks/profile_small_sparse.py).  Without a plan, the dense
+       route's extraction stitch costs a few ms, which still dominates
+       sub-1e5-element problems; :func:`sparse_matrix_multiply` routes
+       those to the host automatically, while this entry point
+       deliberately never leaves the device (it is meant to compose
+       inside larger jitted programs where the result stays in HBM).
 
     .. warning:: ``window`` sizing.  With ``window`` set, B rows longer
        than the window spill into the tail expansion; an undersized

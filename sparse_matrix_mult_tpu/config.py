@@ -48,11 +48,14 @@ class Config:
     # Dense fast path is used when rows*cols of every involved matrix is at
     # most this many elements (f32 bytes = 4x this).  1 GiB of f32 by default.
     dense_path_limit: int = 1 << 28
-    # Below this many output elements, sparse-output extraction happens on
-    # host (download the small dense product, pack with scipy's C code)
-    # instead of on device: the device extraction kernels have ~20 ms of
-    # fixed latency that dominates small problems (round-1 review: 500^2
-    # sparse output ran at 0.54x scipy).  4 Mi elements = 16 MiB of f32.
+    # Below this many output elements, the DENSE-route sparse-output
+    # extraction happens on host (download the small dense product, pack
+    # with scipy's C code) instead of on device.  Round 5: small sparse
+    # outputs mostly bypass the dense route entirely (the binned ESC
+    # engine runs 1000^2 d=0.01 in ~0.4 ms device-resident), so this
+    # limit only governs the residual dense-panel cases; the device
+    # extraction stitch itself measured ~1-2 ms at panel sizes <= 4M
+    # elements in round 5 (down from the ~20 ms round-1 floor).
     host_extract_limit: int = 1 << 22
     # At or below this many partial products the scipy-in/scipy-out API
     # computes on the HOST via the native OpenMP Gustavson kernel

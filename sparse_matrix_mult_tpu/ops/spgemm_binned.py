@@ -48,7 +48,14 @@ from ..types import CSRMatrix, INDEX_DTYPE
 
 __all__ = ["BinnedPlan", "binned_plan", "spgemm_esc_binned"]
 
-_DEDUP_STEPS = 3
+# Duplicate (i, k) runs up to 2**_DEDUP_STEPS are summed by the shifted-add
+# network; the exact scatter fallback only triggers beyond that.  Deeper
+# than the 1D engines' 3 steps: the 2D shifts are cheap fused lane-local
+# passes, and denser products routinely carry runs of 10-40 (measured: the
+# 2000^2 d=0.02 config tripped the 1-in-a-run>8 cond every call, 88 ms vs
+# ~20 ms -- one pathological run must not drag the whole call onto the
+# scatter path).
+_DEDUP_STEPS = 6
 _DEDUP_SPAN = 1 << _DEDUP_STEPS
 
 

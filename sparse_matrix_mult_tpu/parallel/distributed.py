@@ -1124,9 +1124,16 @@ def triple_product_distributed_sparse(
         kb = ht.rows_pad
         nnzht = np.zeros(s_count * kb, np.int32)
         nnzht[:k] = np.diff(ht_sp.indptr)
-        counts = np.asarray(
-            _triple_count_jit(mesh)(t.indptrs, t.indices, jnp.asarray(nnzht))
-        ).astype(np.int64)
+        counts = _triple_count_jit(mesh)(t.indptrs, t.indices, jnp.asarray(nnzht))
+        # Multi-host safe reduction: only replicated SCALARS cross to host
+        # (np.asarray of a cross-process-sharded array raises), computed
+        # with one tiny jitted reduce.
+        counts_max, counts_neg = (
+            int(x)
+            for x in jax.jit(
+                lambda c: (jnp.max(c), jnp.sum(c < 0, dtype=jnp.int32))
+            )(counts)
+        )
         # The device count pass accumulates in int32: a (shard, step) pair
         # with >= 2**31 partials would wrap and silently undersize e_step.
         # Negative counts catch any single wrap; the host-side int64 bound
@@ -1134,15 +1141,17 @@ def triple_product_distributed_sparse(
         # closes the double-wrap window.  A step that heavy cannot be
         # buffered on one chip anyway -- the fix is more devices or an
         # explicit expand_step_capacity.
-        per_shard_nnz_t = int(np.asarray(t.indptrs)[:, -1].astype(np.int64).max())
+        per_shard_nnz_t = int(
+            jax.jit(lambda ips: jnp.max(ips[:, -1]))(t.indptrs)
+        )
         step_bound = per_shard_nnz_t * int(nnzht.max(initial=0))
-        if (counts < 0).any() or step_bound >= 2**32:
+        if counts_neg or step_bound >= 2**32:
             raise OverflowError(
                 f"per-(shard, ring-step) partial-product count overflowed "
                 f"int32 (host-side upper bound {step_bound}); add devices "
                 f"or pass expand_step_capacity explicitly"
             )
-        expand_step_capacity = bucket_capacity(max(int(counts.max()), 1))
+        expand_step_capacity = bucket_capacity(max(counts_max, 1))
     return _triple_sparse_jit(
         mesh, int(expand_step_capacity), bool(compute_full_matrix)
     )(t, ht)
