@@ -165,13 +165,12 @@ def single_chip(args):
     plan = binned_plan(A.indptr, A.indices, B.indptr, window=8, lane_width=16384)
     t_plan = time.perf_counter() - t0
     assert plan is not None
-    print(f"plan: {t_plan:.1f} s, G={plan.va_slice.shape[0]}, padded={plan.padded}", flush=True)
+    print(f"plan: {t_plan:.1f} s, G={plan.va_start.shape[0]}, padded={plan.padded}", flush=True)
 
     t0 = time.perf_counter()
     a = smm.from_scipy(A, dtype=jnp.float32, capacity=fine_capacity(A.nnz))
     b = smm.from_scipy(B, dtype=jnp.float32, capacity=fine_capacity(B.nnz))
-    pargs = [jnp.asarray(x) for x in (
-        plan.slice_start, plan.slice_len, plan.va_slice, plan.va_entry, plan.va_row)]
+    pargs = list(plan.device_args())
     jax.block_until_ready([a.values, b.values] + pargs)
     t_upload = time.perf_counter() - t0
     OC = fine_capacity(ref_nnz)

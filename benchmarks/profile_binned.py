@@ -47,9 +47,8 @@ def main():
             if plan is None:
                 print(f"n={n} P={P} W={W}: no plan", flush=True)
                 continue
-            G, Wp = plan.va_slice.shape
-            args = [jnp.asarray(x) for x in (
-                plan.slice_start, plan.slice_len, plan.va_slice, plan.va_entry, plan.va_row)]
+            G, Wp = plan.va_start.shape
+            args = list(plan.device_args())
             for x in args:
                 x.block_until_ready()
 

@@ -86,15 +86,14 @@ def main():
         if plan is None:
             print("no binned plan", flush=True)
             continue
-        pargs = [jnp.asarray(x) for x in (
-            plan.slice_start, plan.slice_len, plan.va_slice, plan.va_entry, plan.va_row)]
+        pargs = list(plan.device_args())
 
         def chk_binned(carry, a_, b_, *p):
             a2 = dc.replace(a_, values=a_.values.at[0].add(carry * 0))
             c = spgemm_esc_binned(a2, b_, *p, window=plan.window, out_capacity=OC)
             return c.values[0] + c.indptr[-1].astype(jnp.float32) * 1e-6
 
-        timeit(f"binned_esc (G={plan.va_slice.shape[0]})", chk_binned, a, b, *pargs)
+        timeit(f"binned_esc (G={plan.va_start.shape[0]})", chk_binned, a, b, *pargs)
 
 
 if __name__ == "__main__":

@@ -490,9 +490,7 @@ def bench_hypersparse() -> list[dict]:
 
         bplan = binned_plan(A.indptr, A.indices, B.indptr, window=8, lane_width=4096)
         if bplan is not None:
-            pargs = [jnp.asarray(x) for x in (
-                bplan.slice_start, bplan.slice_len, bplan.va_slice,
-                bplan.va_entry, bplan.va_row)]
+            pargs = list(bplan.device_args())
             for x in pargs:
                 x.block_until_ready()
             for sym in (False, True) if n == 40_000 else (False,):

@@ -669,11 +669,7 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool, esc_limit=None):
                 c = spgemm_esc_binned(
                     a,
                     b,
-                    jnp.asarray(bplan.slice_start),
-                    jnp.asarray(bplan.slice_len),
-                    jnp.asarray(bplan.va_slice),
-                    jnp.asarray(bplan.va_entry),
-                    jnp.asarray(bplan.va_row),
+                    *bplan.device_args(),
                     window=bplan.window,
                     out_capacity=out_cap,
                     symmetric=symmetric,
@@ -934,11 +930,7 @@ def multiply(
             return spgemm_esc_binned(
                 a,
                 b,
-                jnp.asarray(plan.slice_start),
-                jnp.asarray(plan.slice_len),
-                jnp.asarray(plan.va_slice),
-                jnp.asarray(plan.va_entry),
-                jnp.asarray(plan.va_row),
+                *plan.device_args(),
                 window=plan.window,
                 out_capacity=out_capacity,
                 symmetric=symmetric,

@@ -32,11 +32,7 @@ def _run(A, B, symmetric=False, dtype=jnp.float64, window=8, lane_width=2048,
     c = spgemm_esc_binned(
         a,
         b,
-        jnp.asarray(plan.slice_start),
-        jnp.asarray(plan.slice_len),
-        jnp.asarray(plan.va_slice),
-        jnp.asarray(plan.va_entry),
-        jnp.asarray(plan.va_row),
+        *plan.device_args(),
         window=plan.window,
         out_capacity=oc,
         symmetric=symmetric,
