@@ -180,7 +180,7 @@ def single_chip(args):
     def loop(a_, b_, *p):
         def body(t, carry):
             a2 = dc.replace(a_, values=a_.values.at[0].add(carry * 0))
-            c = spgemm_esc_binned(a2, b_, *p, window=plan.window, out_capacity=OC)
+            c = spgemm_esc_binned(a2, b_, *p, window=plan.window, out_capacity=OC, dedup_span=plan.max_run)
             return c.values[0] + c.indptr[-1].astype(jnp.float32) * 1e-6
         return lax.fori_loop(0, K, body, jnp.float32(0))
 
@@ -194,7 +194,7 @@ def single_chip(args):
 
     # Exactness spot check without downloading 800 MB over the tunnel:
     # device-side nnz + checksum vs scipy.
-    c = spgemm_esc_binned(a, b, *pargs, window=plan.window, out_capacity=OC)
+    c = spgemm_esc_binned(a, b, *pargs, window=plan.window, out_capacity=OC, dedup_span=plan.max_run)
     got_nnz = int(c.indptr[-1])
     assert got_nnz == ref_nnz, (got_nnz, ref_nnz)
 

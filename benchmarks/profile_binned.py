@@ -56,7 +56,7 @@ def main():
                 def body(t, carry):
                     a2 = dc.replace(a_, values=a_.values.at[0].add(carry * 0))
                     c = spgemm_esc_binned(
-                        a2, b_, *pargs, window=plan.window, out_capacity=OC
+                        a2, b_, *pargs, window=plan.window, out_capacity=OC, dedup_span=plan.max_run
                     )
                     return c.values[0] + c.indptr[-1].astype(jnp.float32) * 1e-6
                 return lax.fori_loop(0, kk, body, jnp.float32(0))

@@ -90,7 +90,7 @@ def main():
 
         def chk_binned(carry, a_, b_, *p):
             a2 = dc.replace(a_, values=a_.values.at[0].add(carry * 0))
-            c = spgemm_esc_binned(a2, b_, *p, window=plan.window, out_capacity=OC)
+            c = spgemm_esc_binned(a2, b_, *p, window=plan.window, out_capacity=OC, dedup_span=plan.max_run)
             return c.values[0] + c.indptr[-1].astype(jnp.float32) * 1e-6
 
         timeit(f"binned_esc (G={plan.va_start.shape[0]})", chk_binned, a, b, *pargs)

@@ -502,6 +502,7 @@ def bench_hypersparse() -> list[dict]:
                         c = spgemm_esc_binned(
                             a2, b_, *p, window=bplan.window,
                             out_capacity=_oc, symmetric=_sym,
+                            dedup_span=bplan.max_run,
                         )
                         return c.values[0] + c.indptr[-1].astype(jnp.float32) * 1e-6
                     return lax.fori_loop(0, K, body, jnp.float32(0))

@@ -673,6 +673,7 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool, esc_limit=None):
                     window=bplan.window,
                     out_capacity=out_cap,
                     symmetric=symmetric,
+                    dedup_span=bplan.max_run,
                 )
                 _set_route("esc_binned")
                 out = to_scipy(c)
@@ -934,6 +935,7 @@ def multiply(
                 window=plan.window,
                 out_capacity=out_capacity,
                 symmetric=symmetric,
+                dedup_span=plan.max_run,
             )
         if expand_capacity is None and (window is not None or b_table is not None):
             raise ValueError(

@@ -85,6 +85,11 @@ class BinnedPlan:
     * ``window`` (W), ``lane_width`` (P) -- static tile parameters.
     * ``n_partials`` -- exact live partial-product count (for capacity
       sizing); ``padded`` = G * P total slots.
+    * ``max_run`` -- proven bound on any duplicate-(row, col) run length:
+      an A entry (i, j) contributes at most ONE partial to output column
+      k, so a run for row i never exceeds nnz(A[i, :]).  The engine sizes
+      its shifted-add dedup network to ``ceil(log2 max_run)`` passes --
+      exact by construction, no data-dependent fallback.
     """
 
     slice_start: np.ndarray
@@ -96,6 +101,7 @@ class BinnedPlan:
     window: int
     lane_width: int
     n_partials: int
+    max_run: int = 1 << 30  # conservative default: full-lane depth
 
     @property
     def padded(self) -> int:
@@ -216,6 +222,7 @@ def binned_plan(
     va_slice[flat] = ve_slice
     va_entry[flat] = ve_entry
     va_row[flat] = ve_row
+    a_row_nnz = np.diff(a_indptr)
     return BinnedPlan(
         slice_start=slice_start,
         slice_len=slice_len,
@@ -226,12 +233,13 @@ def binned_plan(
         window=W,
         lane_width=P,
         n_partials=n_partials,
+        max_run=int(a_row_nnz.max()) if len(a_row_nnz) else 1,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "out_capacity", "symmetric"),
+    static_argnames=("window", "out_capacity", "symmetric", "dedup_span"),
 )
 def spgemm_esc_binned(
     a: CSRMatrix,
@@ -247,6 +255,7 @@ def spgemm_esc_binned(
     out_capacity: int,
     symmetric: bool = False,
     row_offset=0,
+    dedup_span: int = 0,
 ) -> CSRMatrix:
     """``C = A @ B`` via the row-binned 2D ESC pipeline (see module doc).
 
@@ -321,7 +330,12 @@ def spgemm_esc_binned(
         k2 = tbl_c[vs].reshape(G, Wp, W)
         bv = tbl_v[vs].reshape(G, Wp, W)
     ln = va_len
-    av = a.values[va_entry]  # (G, Wp) gather at virtual-entry scale
+    # a-value fetch as an (N, 2) row gather: a bare element gather of the
+    # same 456k indices prices 3.3 ms on v5e while the duplicated-pair row
+    # gather prices 2.2 ms (profile_expand_parts.py) -- row gathers price
+    # near one column regardless of width, element gathers per element.
+    a_pack = jnp.stack([a.values, a.values], axis=1)
+    av = a_pack[va_entry][..., 0]  # (G, Wp) gather at virtual-entry scale
     v2 = av[..., None] * bv
     i2 = jnp.broadcast_to(va_row[..., None], (G, Wp, W)).astype(INDEX_DTYPE)
     valid = wr[None, None, :] < ln[..., None]
@@ -351,13 +365,19 @@ def spgemm_esc_binned(
     prev_same = jnp.concatenate([zcol, same_at(1)], axis=1) if P > 1 else jnp.zeros((G, P), bool)
     boundary = live & ~prev_same
 
-    # Full-depth shifted-add dedup: lane-local segmented suffix sum in
-    # ceil(log2 P) fused passes.  Runs never cross lane rows, so every
-    # duplicate-run length <= P is summed exactly -- no data-dependent
-    # branch, no scatter fallback.
+    # Shifted-add dedup: lane-local segmented suffix sum.  Runs never
+    # cross lane rows and (see BinnedPlan.max_run) never exceed the max
+    # nnz of an A row, so ceil(log2 min(max_run, P)) passes sum every
+    # duplicate run exactly -- no data-dependent branch, no scatter
+    # fallback.  ``dedup_span=0`` (the default) runs full lane depth.
+    span = P
+    if dedup_span:
+        span = 1
+        while span < min(int(dedup_span), P):
+            span <<= 1
     vv = vals_s
     j = 1
-    while j < P:
+    while j < span:
         same = jnp.concatenate([same_at(j), jnp.zeros((G, j), bool)], axis=1)
         shifted = jnp.concatenate([vv[:, j:], jnp.zeros((G, j), vv.dtype)], axis=1)
         vv = vv + jnp.where(same, shifted, jnp.zeros((), vv.dtype))
