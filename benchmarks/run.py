@@ -299,9 +299,10 @@ def bench_hypersparse() -> list[dict]:
     rows = []
     for n, density, expect in [
         (40_000, 2e-4, "esc_binned"),
-        (100_000, 1e-4, "esc_chunks"),
-        # Scaling point: 2e7 partials, two-key output space (n^2 >= 2^31).
-        (200_000, 5e-5, "esc_chunks"),
+        # 1e7 / 2e7 partials: single binned dispatches since the round-5b
+        # binned_expand_limit raise (chunked-windowed before).
+        (100_000, 1e-4, "esc_binned"),
+        (200_000, 5e-5, "esc_binned"),
     ]:
         A = _hypersparse_random(n, n, int(density * n * n), seed=11)
         B = _hypersparse_random(n, n, int(density * n * n), seed=12)
@@ -374,7 +375,7 @@ def bench_hypersparse() -> list[dict]:
         EC = fine_capacity(expand)
         OC = fine_capacity(nnz_c)
         TC = fine_capacity(tail) if tail else 0
-        K = 4
+        K = 16
         import dataclasses as _dc
 
         def loop(a_, b_):

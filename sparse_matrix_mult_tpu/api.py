@@ -639,20 +639,26 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool, esc_limit=None):
     # benchmarks/profile_small_sparse.py: 0.43 ms vs 2.7 ms at 1000^2
     # d=0.01, vs 0.96 ms scipy) AND never materializes the (m, n) panel.
     budget = esc_limit or get_config().esc_expand_limit
-    sparse_wins = expand <= budget and 4 * expand <= m * n
+    # The binned 2D engine sustains a much larger single dispatch than the
+    # device-wide 1D engines (per-lane working set, no device-wide sorts):
+    # its budget scales from the base one so an ``imem_size`` hint shrinks
+    # or grows both proportionally.
+    binned_budget = 0
+    if cfg.use_binned_esc:
+        binned_budget = int(
+            cfg.binned_expand_limit * (budget / cfg.esc_expand_limit)
+        )
+    sparse_wins = expand <= max(budget, binned_budget) and 4 * expand <= m * n
     if dense_path_fits((m, k), (k, n), (m, n)) and not keep and not sparse_wins:
         return _dense_to_scipy_csr(a_sp, b_sp, symmetric)
-    if expand <= budget:
+    if expand <= max(budget, binned_budget):
         # Expansion-sort: exact structure (keeps Gustavson's structural
         # zeros), capacities exact-then-bucketed; the two-key (row, col)
         # sort has no m*n size limit.  Upload in the resolved policy dtype
         # -- f64 would run the whole sort/gather pipeline in emulated
         # arithmetic on TPU.
         dtype, _ = _upload_dtype(a_sp, b_sp)
-        a = from_scipy(a_sp, dtype=dtype)
-        b = from_scipy(b_sp, dtype=dtype)
-        out_cap = bucket_capacity(min(expand, m * n))
-        if cfg.use_binned_esc:
+        if expand <= binned_budget:
             # Row-binned 2D engine first: per-lane sorts are 3-6x cheaper
             # than the device-wide sorts of the windowed/classic engines
             # (measured v5e, ops/spgemm_binned.py).
@@ -666,12 +672,14 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool, esc_limit=None):
                 lane_width=cfg.binned_lane_width,
             )
             if bplan is not None:
+                a = from_scipy(a_sp, dtype=dtype)
+                b = from_scipy(b_sp, dtype=dtype)
                 c = spgemm_esc_binned(
                     a,
                     b,
                     *bplan.device_args(),
                     window=bplan.window,
-                    out_capacity=out_cap,
+                    out_capacity=bucket_capacity(min(expand, m * n)),
                     symmetric=symmetric,
                     dedup_span=bplan.max_run,
                 )
@@ -680,6 +688,13 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool, esc_limit=None):
                 if out.dtype != np.float64:
                     out = out.astype(np.float64)
                 return out
+        if expand > budget:
+            # Binned plan refused the layout and the expansion exceeds the
+            # 1D engines' dispatch budget: fall through to the chunked path.
+            return _sparse_out_chunked_esc(a_sp, b_sp, symmetric, esc_limit)
+        a = from_scipy(a_sp, dtype=dtype)
+        b = from_scipy(b_sp, dtype=dtype)
+        out_cap = bucket_capacity(min(expand, m * n))
         plan = windowed_plan(
             a_sp.nnz, np.diff(b_sp.indptr)[a_sp.indices], expand
         )

@@ -101,6 +101,15 @@ class Config:
     use_binned_esc: bool = True
     binned_lane_width: int = 4096
     binned_window: int = 8
+    # Single-dispatch budget for the binned engine (partial products).
+    # Its live set is ~6 buffers of the padded lane volume (<= 3x the
+    # expansion, planner-enforced), so 32M partials is ~2.3 GB -- well
+    # inside one chip's HBM and 8x the 1D engines' dispatch budget.  The
+    # 100k/200k hypersparse configs (1e7 / 2e7 partials) become single
+    # binned dispatches instead of chunked-windowed runs (measured v5e:
+    # 42 ms vs 0.40 s at 100k).  Scaled by the same imem_size hint as
+    # esc_expand_limit.
+    binned_expand_limit: int = 1 << 25
     # Pallas BSR kernel block edge (MXU native tile).
     block_size: int = 128
     # Route block-structured operands through the Pallas BSR kernel when the

@@ -176,16 +176,16 @@ def binned_plan(
         return None  # a single output row overflows one lane
     # Contiguous-row first-fit binning: close the lane when the next row
     # would overflow P padded slots.  Rows stay in global order, so the
-    # stitched output is row-major CSR with no extra permutation.
+    # stitched output is row-major CSR with no extra permutation.  One
+    # searchsorted per LANE (a few thousand) instead of a Python loop per
+    # ROW (vcnt.max() <= Wp is guaranteed above, so every lane advances).
     r0 = [0]
-    cur = 0
-    for r in range(n_rows):
-        c = int(vcnt[r])
-        if cur + c > Wp:
-            r0.append(r)
-            cur = 0
-        cur += c
-    r0.append(n_rows)
+    while r0[-1] < n_rows:
+        start = r0[-1]
+        stop = int(
+            np.searchsorted(vrow_cum, vrow_cum[start] + Wp, side="right") - 1
+        )
+        r0.append(min(max(stop, start + 1), n_rows))
     r0 = np.asarray(r0, np.int64)
     G = len(r0) - 1
     if G * P > max_pad_ratio * max(n_partials, 1) + P:

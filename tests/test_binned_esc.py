@@ -80,9 +80,9 @@ def test_binned_long_b_rows_sliced():
 
 
 def test_binned_duplicate_run_fallback():
-    # Every A row references many B rows that share one column: duplicate
-    # (i, k) runs longer than the shifted-add span trigger the exact
-    # scatter fallback under lax.cond.
+    # Every A row references many B rows that share one column: the
+    # longest possible duplicate (i, k) runs (= nnz of the A row) must be
+    # summed exactly by the full-depth shifted-add network.
     k = 32
     rows, cols, vals = [], [], []
     for i in range(16):

@@ -20,9 +20,13 @@ from sparse_matrix_mult_tpu.config import get_config, set_config
 def tiny_limits():
     """Shrink the size cutoffs so chunked paths trigger at small sizes."""
     cfg = get_config()
-    saved = (cfg.dense_path_limit, cfg.esc_expand_limit)
+    saved = (cfg.dense_path_limit, cfg.esc_expand_limit, cfg.binned_expand_limit)
     yield
-    set_config(dense_path_limit=saved[0], esc_expand_limit=saved[1])
+    set_config(
+        dense_path_limit=saved[0],
+        esc_expand_limit=saved[1],
+        binned_expand_limit=saved[2],
+    )
 
 
 @pytest.fixture
@@ -67,14 +71,14 @@ def _check(a, b, symmetric=False):
 
 def test_forced_single_esc(tiny_limits):
     # (m,k)/(k,n)/(m,n) all exceed the dense limit, expansion is small.
-    set_config(dense_path_limit=500, esc_expand_limit=1 << 22)
+    set_config(dense_path_limit=500, esc_expand_limit=1 << 22, binned_expand_limit=1 << 22)
     a, b = _pair(60, 60, 60, 0.05, 0.05, seed=1)
     _check(a, b)
 
 
 def test_forced_dense_chunks(tiny_limits):
     # (m,n) too big, (k,n) fits -> equal-row dense chunks.
-    set_config(dense_path_limit=2000, esc_expand_limit=8)
+    set_config(dense_path_limit=2000, esc_expand_limit=8, binned_expand_limit=8)
     a, b = _pair(200, 30, 40, 0.1, 0.1, seed=2)
     assert 30 * 40 <= 2000 < 200 * 40
     _check(a, b)
@@ -82,14 +86,14 @@ def test_forced_dense_chunks(tiny_limits):
 
 
 def test_forced_dense_chunks_symmetric(tiny_limits):
-    set_config(dense_path_limit=2000, esc_expand_limit=8)
+    set_config(dense_path_limit=2000, esc_expand_limit=8, binned_expand_limit=8)
     a, b = _pair(200, 40, 200, 0.1, 0.05, seed=3)
     _check(a, b, symmetric=True)
 
 
 def test_forced_esc_chunks(tiny_limits):
     # Even (k,n) exceeds the dense limit -> flop-balanced ESC chunks.
-    set_config(dense_path_limit=1000, esc_expand_limit=500)
+    set_config(dense_path_limit=1000, esc_expand_limit=500, binned_expand_limit=500)
     a, b = _pair(100, 60, 60, 0.1, 0.1, seed=4)
     assert 60 * 60 > 1000
     _check(a, b)
@@ -98,7 +102,7 @@ def test_forced_esc_chunks(tiny_limits):
 def test_forced_esc_chunks_symmetric(tiny_limits):
     # The symmetric filter must use GLOBAL row indices inside row chunks
     # (spgemm_esc row_offset); equality against np.triu proves it.
-    set_config(dense_path_limit=1000, esc_expand_limit=500)
+    set_config(dense_path_limit=1000, esc_expand_limit=500, binned_expand_limit=500)
     a, b = _pair(80, 60, 80, 0.15, 0.1, seed=5)
     _check(a, b, symmetric=True)
 
@@ -107,7 +111,7 @@ def test_heavy_row_terminates(tiny_limits):
     # One dense-ish A row whose flop count dwarfs the expand limit: round 1
     # recursed forever on the identical 1-row subproblem; now that row is a
     # single chunk with an actual-size capacity.
-    set_config(dense_path_limit=1000, esc_expand_limit=16)
+    set_config(dense_path_limit=1000, esc_expand_limit=16, binned_expand_limit=16)
     m, k, n = 40, 50, 50
     a = sp.random(m, k, density=0.02, format="csr", random_state=7).tolil()
     a[0, :] = np.arange(1, k + 1, dtype=float)  # fully dense row 0
@@ -119,7 +123,7 @@ def test_heavy_row_terminates(tiny_limits):
 
 def test_heavy_row_dense_chunks(tiny_limits):
     # Heavy row in the dense-chunk branch ((k,n) fits): must also terminate.
-    set_config(dense_path_limit=400, esc_expand_limit=16)
+    set_config(dense_path_limit=400, esc_expand_limit=16, binned_expand_limit=16)
     m, k, n = 60, 10, 20
     a = sp.random(m, k, density=0.05, format="csr", random_state=9).tolil()
     a[3, :] = 1.0
@@ -137,7 +141,7 @@ def test_imem_size_scales_chunk_budget(tiny_limits, device_routed):
     # them; results identical either way.
     from sparse_matrix_mult_tpu.api import get_last_route_detail
 
-    set_config(dense_path_limit=1000, esc_expand_limit=2000)
+    set_config(dense_path_limit=1000, esc_expand_limit=2000, binned_expand_limit=2000)
     a, b = _pair(100, 60, 60, 0.2, 0.2, seed=6)
     ref = (a @ b).toarray()
 
@@ -158,7 +162,7 @@ def test_imem_size_out_of_range_means_default_ten(tiny_limits, device_routed):
     # Values outside (0, 10] fall back to the reference's default 10%.
     from sparse_matrix_mult_tpu.api import get_last_route_detail
 
-    set_config(dense_path_limit=1000, esc_expand_limit=2000)
+    set_config(dense_path_limit=1000, esc_expand_limit=2000, binned_expand_limit=2000)
     a, b = _pair(100, 60, 60, 0.2, 0.2, seed=6)
     smm.sparse_matrix_multiply(a, b, "sparse", imem_size=10)
     chunks_ten = get_last_route_detail()["chunks"]

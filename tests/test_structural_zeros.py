@@ -29,6 +29,7 @@ def restore_config():
         "keep_structure",
         "host_compute_limit",
         "esc_expand_limit",
+        "binned_expand_limit",
         "dense_path_limit",
         "auto_calibrate_link",
         "link_fixed_s",
@@ -94,7 +95,7 @@ def test_esc_route_keeps_gustavson_structure(restore_config):
 
 def test_esc_chunked_route_keeps_gustavson_structure(restore_config):
     a, b, touched, pruned = _cancelling_pair()
-    set_config(host_compute_limit=0, dense_path_limit=1, esc_expand_limit=64)
+    set_config(host_compute_limit=0, dense_path_limit=1, esc_expand_limit=64, binned_expand_limit=64)
     _force_device_link()
     got = smm.sparse_matrix_multiply(a, b)
     assert smm.get_last_route() == "esc_chunks"
