@@ -34,7 +34,10 @@ K = 5
 def main():
     lanes = [int(x) for x in sys.argv[1:]] or [4096, 8192]
     windows = [int(x) for x in os.environ.get("SMM_WINDOWS", "8").split(",")]
-    for n, density in [(40_000, 2e-4), (100_000, 1e-4)]:
+    import json
+    cfgs = json.loads(os.environ.get("SMM_CONFIGS", "[[40000, 2e-4], [100000, 1e-4]]"))
+    for n, density in cfgs:
+        n = int(n)
         A = hypersparse_random(n, n, int(density * n * n), seed=11)
         B = hypersparse_random(n, n, int(density * n * n), seed=12)
         nnz_c = int((A @ B).nnz)
