@@ -669,7 +669,16 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool, esc_limit=None):
                 a_sp.indices,
                 b_sp.indptr,
                 window=cfg.binned_window,
-                lane_width=cfg.binned_lane_width,
+                # Wider lanes for very large dispatches: the scan stitch
+                # costs ~2.7 us per lane, so past ~1.2e7 partials doubling
+                # the lane halves the lane count for a net win (measured
+                # v5e at 200k^2/2e7: 111.6 -> 106.4 ms at P=8192; 16384
+                # regresses -- the sort stages grow faster).
+                lane_width=(
+                    cfg.binned_lane_width * 2
+                    if expand > 12_000_000
+                    else cfg.binned_lane_width
+                ),
             )
             if bplan is not None:
                 a = from_scipy(a_sp, dtype=dtype)
