@@ -664,21 +664,29 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool, esc_limit=None):
             # (measured v5e, ops/spgemm_binned.py).
             from .ops.spgemm_binned import binned_plan, spgemm_esc_binned
 
+            # Large-dispatch tile tuning (measured v5e at 200k^2 / 2e7
+            # partials, benchmarks/profile_binned.py): when B's mean row
+            # length exceeds ~3/4 of the window, doubling the window
+            # halves the virtual-entry count -- and the VA-scale gathers
+            # it feeds -- for +20% throughput despite ~20% more padding
+            # (111.5 -> 93.6 ms).  With short B rows a doubled window
+            # only buys padding, so double the LANE instead: the scan
+            # stitch costs ~2.7 us per lane (106.4 ms at P=8192).  Below
+            # ~1.2e7 partials both knobs measured neutral-to-negative.
+            window = cfg.binned_window
+            lane_width = cfg.binned_lane_width
+            if expand > 12_000_000:
+                mean_b_len = b_sp.nnz / max(b_sp.shape[0], 1)
+                if mean_b_len > 0.75 * window:
+                    window *= 2
+                else:
+                    lane_width *= 2
             bplan = binned_plan(
                 a_sp.indptr,
                 a_sp.indices,
                 b_sp.indptr,
-                window=cfg.binned_window,
-                # Wider lanes for very large dispatches: the scan stitch
-                # costs ~2.7 us per lane, so past ~1.2e7 partials doubling
-                # the lane halves the lane count for a net win (measured
-                # v5e at 200k^2/2e7: 111.6 -> 106.4 ms at P=8192; 16384
-                # regresses -- the sort stages grow faster).
-                lane_width=(
-                    cfg.binned_lane_width * 2
-                    if expand > 12_000_000
-                    else cfg.binned_lane_width
-                ),
+                window=window,
+                lane_width=lane_width,
             )
             if bplan is not None:
                 a = from_scipy(a_sp, dtype=dtype)
