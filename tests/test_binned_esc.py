@@ -161,3 +161,37 @@ def test_binned_f32():
     np.testing.assert_allclose(
         got.toarray(), (A @ B).toarray(), rtol=1e-5, atol=1e-6
     )
+
+
+def test_binned_full_lane_then_empty_row_indptr():
+    # Edge of the lane-local binary-search indptr: a lane packed to
+    # exactly P live entries (no padding, no duplicates) followed by an
+    # EMPTY row assigned to the same lane.  That row's lower_bound is P
+    # itself, which the search can only reach with its first probe step
+    # at P (a P/2 start caps lo at P-1 and corrupts indptr).
+    W, Pl = 2, 8  # Wp = 4
+    # A rows 0..3: one entry each, hitting B rows 0..3; B rows have
+    # exactly W entries with distinct columns -> 4 virtual entries fill
+    # lane 0 exactly (8 partials, zero padding, cnt = P).
+    A = sp.coo_matrix(
+        (np.ones(5), ([0, 1, 2, 3, 5], [0, 1, 2, 3, 4])), shape=(6, 5)
+    ).tocsr()  # row 4 empty
+    B = sp.coo_matrix(
+        (
+            np.arange(1.0, 11.0),
+            (np.repeat(np.arange(5), 2), np.tile([0, 1], 5) + np.repeat(np.arange(5), 2)),
+        ),
+        shape=(5, 7),
+    ).tocsr()  # every B row: 2 entries, distinct columns
+    from sparse_matrix_mult_tpu.ops.spgemm_binned import binned_plan
+
+    plan = binned_plan(A.indptr, A.indices, B.indptr, window=W, lane_width=Pl)
+    assert plan is not None
+    # the empty row 4 must live in the SAME (full) lane as rows 0..3
+    assert plan.row_lane[4] == plan.row_lane[3]
+    got = _run(A, B, window=W, lane_width=Pl)
+    ref = (A @ B).toarray()
+    np.testing.assert_allclose(got.toarray(), ref, rtol=1e-12, atol=1e-13)
+    # indptr around the empty row: row 4 spans nothing, rows 0..3 carry
+    # 2 entries each (distinct columns, no merges)
+    assert got.indptr.tolist()[:6] == [0, 2, 4, 6, 8, 8]
