@@ -636,8 +636,8 @@ def _sparse_out_host(a_sp, b_sp, symmetric: bool, esc_limit=None):
 
     # Expansion much smaller than the dense panel: the binned ESC engine
     # beats the MXU-product + extraction route outright (measured v5e,
-    # benchmarks/profile_small_sparse.py: 0.43 ms vs 2.7 ms at 1000^2
-    # d=0.01, vs 0.96 ms scipy) AND never materializes the (m, n) panel.
+    # benchmarks/profile_small_sparse.py: 0.86 ms vs 3.4 ms at 1000^2
+    # d=0.01, vs 1.33 ms scipy) AND never materializes the (m, n) panel.
     budget = esc_limit or get_config().esc_expand_limit
     # The binned 2D engine sustains a much larger single dispatch than the
     # device-wide 1D engines (per-lane working set, no device-wide sorts):
@@ -931,7 +931,7 @@ def multiply(
 
     .. note:: small problems.  For small/mid sparse outputs pass ``plan=``
        (:func:`ops.spgemm_binned.binned_plan`): the row-binned engine runs
-       1000^2 d=0.01 in ~0.4 ms device-resident -- 2.3x scipy and ~6x the
+       1000^2 d=0.01 in ~0.9 ms device-resident -- 1.5x scipy and ~4x the
        dense-panel + extraction route (measured v5e, round 5;
        benchmarks/profile_small_sparse.py).  Without a plan, the dense
        route's extraction stitch costs a few ms, which still dominates
